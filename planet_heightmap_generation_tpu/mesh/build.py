@@ -1,0 +1,213 @@
+"""Sphere mesh construction — host side, producing TPU-ready padded arrays.
+
+The reference builds a Fibonacci sphere, projects it stereographically, runs
+Delaunator, stitches the projection pole back in, and wraps the result in a
+half-edge dual mesh with CSR adjacency (reference ``js/sphere-mesh.js``).
+
+The TPU re-design keeps the same geometry (bit-identical Fibonacci points and
+RNG consumption) but replaces the CSR/half-edge structure with a
+**fixed-degree padded neighbor-index array** ``nbr_idx [NP, K]`` plus a
+validity mask: Fibonacci meshes have degree ≈6 (5/7 outliers + one pole
+vertex), so every downstream BFS / smoothing / erosion pass becomes a
+vectorized masked gather instead of a pointer chase. Cell count is padded to
+a multiple of 1024 so fields tile cleanly onto the VPU (8×128 lanes) and
+shard evenly across a device mesh.
+
+Mesh construction is seed-dependent but cheap relative to the field pipeline
+(one scipy Delaunay), so it stays on host and ships static arrays to device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+from ..ops.rng import ParkMiller
+
+_PAD_MULTIPLE = 1024
+
+
+def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndarray:
+    """N points on the unit sphere via golden-angle spiral with jitter.
+
+    Bit-compatible RNG consumption with reference js/sphere-mesh.js:9-37
+    (4 draws per point when jitter > 0, none otherwise).
+    """
+    k = np.arange(n, dtype=np.float64)
+    s = 3.6 / np.sqrt(n)
+    dlong = np.pi * (3.0 - np.sqrt(5.0))
+    dz = 2.0 / n
+    z = 1.0 - dz / 2.0 - k * dz
+    lng = k * dlong
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    lat_deg = np.degrees(np.arcsin(z))
+    lon_deg = np.degrees(lng)
+
+    if jitter > 0:
+        draws = rng.sequence(4 * n).reshape(n, 4)
+        j_lat = draws[:, 0] - draws[:, 1]
+        j_lon = draws[:, 2] - draws[:, 3]
+        next_z = np.maximum(-1.0, z - dz * 2.0 * np.pi * r / s)
+        lat_deg = lat_deg + jitter * j_lat * (lat_deg - np.degrees(np.arcsin(next_z)))
+        with np.errstate(divide="ignore"):
+            lon_deg = lon_deg + jitter * j_lon * np.degrees(s / r)
+
+    lat = np.radians(lat_deg)
+    lon = np.radians(lon_deg)
+    xyz = np.stack(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)],
+        axis=1,
+    )
+    return xyz.astype(np.float64)
+
+
+def _stereographic(xyz: np.ndarray) -> np.ndarray:
+    """Project from the north pole onto the z=0 plane
+    (js/sphere-mesh.js:41-53); denominator clamped near the pole."""
+    denom = np.maximum(1e-12, 1.0 - xyz[:, 2])
+    return xyz[:, :2] / denom[:, None]
+
+
+@dataclasses.dataclass
+class SphereGraph:
+    """Static mesh arrays, padded for TPU. All [NP] / [NP,K] shaped.
+
+    ``n_cells`` real cells (= N+1, including the added pole) occupy indices
+    [0, n_cells); the rest up to NP are inert padding (mask False, degree 0).
+    """
+
+    n_cells: int                 # real cell count (N+1)
+    n_padded: int                # NP, multiple of 1024
+    pos: np.ndarray              # [NP, 3] f32 unit vectors (pad rows = +z pole)
+    nbr_idx: np.ndarray          # [NP, K] i32, self-index where invalid
+    nbr_mask: np.ndarray         # [NP, K] bool
+    nbr_dist: np.ndarray         # [NP, K] f32 chord distance (0 where invalid)
+    deg: np.ndarray              # [NP] i32
+    valid: np.ndarray            # [NP] bool
+    triangles: np.ndarray        # [T, 3] i32 — for rendering / export parity
+    t_pos: np.ndarray            # [T, 3] f32 triangle centers (Voronoi verts)
+    pole_id: int                 # index of the stitched pole cell (= N)
+
+    @property
+    def k_max(self) -> int:
+        return self.nbr_idx.shape[1]
+
+    @property
+    def avg_edge(self) -> float:
+        """Mean neighbor chord distance over valid slots (radians ≈ chord
+        for small cells) — the reference's avgEdge analog for km scaling."""
+        tot = float(self.nbr_dist.sum())
+        cnt = int(self.nbr_mask.sum())
+        return tot / max(cnt, 1)
+
+
+def _ordered_adjacency(n_total: int, triangles: np.ndarray, pos: np.ndarray):
+    """Directed edge list from triangles → per-vertex neighbor lists ordered
+    by tangent-plane angle (so Voronoi polygons export in circulation order)."""
+    a = triangles[:, 0]
+    b = triangles[:, 1]
+    c = triangles[:, 2]
+    src = np.concatenate([a, b, b, c, c, a])
+    dst = np.concatenate([b, a, c, b, a, c])
+    # dedupe directed edges
+    key = src.astype(np.int64) * n_total + dst
+    key = np.unique(key)
+    src = (key // n_total).astype(np.int32)
+    dst = (key % n_total).astype(np.int32)
+
+    # tangent-frame angle of each neighbor around its source vertex
+    u = pos[src]
+    v = pos[dst]
+    # build tangent frame per edge from source normal
+    ref = np.where(np.abs(u[:, 2:3]) < 0.9, [[0.0, 0.0, 1.0]], [[1.0, 0.0, 0.0]])
+    t1 = np.cross(ref, u)
+    t1 /= np.maximum(1e-30, np.linalg.norm(t1, axis=1))[:, None]
+    t2 = np.cross(u, t1)
+    e = v - (v * u).sum(1)[:, None] * u
+    ang = np.arctan2((e * t2).sum(1), (e * t1).sum(1))
+
+    order = np.lexsort((ang, src))
+    return src[order], dst[order]
+
+
+def build_sphere(
+    n: int,
+    jitter: float,
+    rng: Optional[ParkMiller] = None,
+    seed: float = 0.0,
+    pad_multiple: int = _PAD_MULTIPLE,
+) -> SphereGraph:
+    """Fibonacci sphere → Delaunay → pole closure → padded neighbor arrays.
+
+    Mirrors reference buildSphere (js/sphere-mesh.js:174-186): N spiral
+    points plus one stitched pole cell at index N, so n_cells = N+1.
+    """
+    if rng is None:
+        rng = ParkMiller(seed)
+    xyz = generate_fibonacci_sphere(n, jitter, rng)
+    flat = _stereographic(xyz)
+
+    tri = Delaunay(flat)
+    simplices = tri.simplices.astype(np.int32)  # [T0, 3]
+
+    # Pole closure: connect every hull edge to the pole point (index n).
+    # (The hull of the stereographic projection surrounds the north pole.)
+    hull = tri.convex_hull.astype(np.int32)  # [H, 2]
+    pole_id = n
+    pole_tris = np.concatenate(
+        [hull, np.full((len(hull), 1), pole_id, dtype=np.int32)], axis=1
+    )
+    triangles = np.concatenate([simplices, pole_tris], axis=0)
+
+    n_total = n + 1
+    pos_all = np.concatenate([xyz, [[0.0, 0.0, 1.0]]], axis=0)
+
+    src, dst = _ordered_adjacency(n_total, triangles, pos_all)
+    deg = np.bincount(src, minlength=n_total).astype(np.int32)
+    k_max = int(deg.max())
+
+    n_padded = -(-n_total // pad_multiple) * pad_multiple
+
+    nbr_idx = np.tile(
+        np.arange(n_padded, dtype=np.int32)[:, None], (1, k_max)
+    )  # self-index default (safe gather)
+    nbr_mask = np.zeros((n_padded, k_max), dtype=bool)
+
+    offsets = np.zeros(n_total + 1, dtype=np.int64)
+    np.cumsum(deg, out=offsets[1:])
+    slot = np.arange(len(src), dtype=np.int64) - offsets[src]
+    nbr_idx[src, slot] = dst
+    nbr_mask[src, slot] = True
+
+    pos_pad = np.zeros((n_padded, 3), dtype=np.float32)
+    pos_pad[:n_total] = pos_all.astype(np.float32)
+    pos_pad[n_total:] = [0.0, 0.0, 1.0]
+
+    d = pos_pad[:, None, :] - pos_pad[nbr_idx]
+    nbr_dist = np.where(
+        nbr_mask, np.sqrt((d * d).sum(-1)), 0.0
+    ).astype(np.float32)
+
+    deg_pad = np.zeros(n_padded, dtype=np.int32)
+    deg_pad[:n_total] = deg
+    valid = np.zeros(n_padded, dtype=bool)
+    valid[:n_total] = True
+
+    t_pos = pos_all[triangles].mean(axis=1).astype(np.float32)
+
+    return SphereGraph(
+        n_cells=n_total,
+        n_padded=n_padded,
+        pos=pos_pad,
+        nbr_idx=nbr_idx,
+        nbr_mask=nbr_mask,
+        nbr_dist=nbr_dist,
+        deg=deg_pad,
+        valid=valid,
+        triangles=triangles,
+        t_pos=t_pos,
+        pole_id=pole_id,
+    )

@@ -1,0 +1,170 @@
+"""3D simplex noise with fBm / ridged-fBm — vectorized JAX re-design.
+
+The reference evaluates scalar simplex noise per cell inside JS loops
+(reference ``js/simplex-noise.js:17-53``). Here the same permutation-table
+construction (Fisher-Yates over 256 entries driven by the Park-Miller RNG,
+``js/simplex-noise.js:8-14``) seeds a table-compatible, fully vectorized
+evaluator: one call produces noise for an entire [N] field, and fBm octaves
+are unrolled so XLA fuses the whole stack into a handful of VPU passes.
+
+Branchy corner selection is re-expressed as nested ``jnp.where`` so the
+kernel is data-parallel. float32 throughout (TPU-native); values match the
+reference's float64 within ~1e-5 away from simplex-cell boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .rng import ParkMiller
+
+# 12 gradient directions (js/simplex-noise.js:7)
+_GRAD = np.array(
+    [[1, 1, 0], [-1, 1, 0], [1, -1, 0], [-1, -1, 0],
+     [1, 0, 1], [-1, 0, 1], [1, 0, -1], [-1, 0, -1],
+     [0, 1, 1], [0, -1, 1], [0, 1, -1], [0, -1, -1]],
+    dtype=np.float32,
+)
+
+_F3 = 1.0 / 3.0
+_G3 = 1.0 / 6.0
+
+
+def make_perm_tables(seed: float) -> tuple[np.ndarray, np.ndarray]:
+    """Build the 512-entry permutation tables exactly like the reference
+    (Fisher-Yates shuffle driven by Park-Miller, js/simplex-noise.js:8-14)."""
+    rng = ParkMiller(seed)
+    p = np.arange(256, dtype=np.int64)
+    for i in range(255, 0, -1):
+        j = int(rng() * (i + 1))
+        p[i], p[j] = p[j], p[i]
+    perm = np.empty(512, dtype=np.int32)
+    perm[:256] = p
+    perm[256:] = p
+    pm12 = (perm % 12).astype(np.int32)
+    return perm, pm12
+
+
+class SimplexNoise:
+    """Seeded, vectorized simplex noise field evaluator.
+
+    All methods take jnp arrays of identical shape and return the same shape.
+    Octave counts are static Python ints (unrolled under jit).
+    """
+
+    def __init__(self, seed: float):
+        perm, pm12 = make_perm_tables(seed)
+        self.perm = jnp.asarray(perm)
+        self.pm12 = jnp.asarray(pm12)
+        self.grad = jnp.asarray(_GRAD)
+
+    def noise3(self, x, y, z):
+        return _noise3(self.perm, self.pm12, self.grad, x, y, z)
+
+    def fbm(self, x, y, z, octaves: int = 5, persistence: float = 2.0 / 3.0):
+        """Power-of-two lacunarity fBm (js/simplex-noise.js:34-38)."""
+        total = 0.0
+        norm = 0.0
+        amp = 1.0
+        for o in range(octaves):
+            f = float(1 << o)
+            total = total + amp * self.noise3(x * f, y * f, z * f)
+            norm += amp
+            amp *= persistence
+        return total / norm
+
+    def ridged_fbm(self, x, y, z, octaves: int = 6, lacunarity: float = 2.0,
+                   gain: float = 0.5, offset: float = 1.0):
+        """Ridged multifractal with previous-term feedback
+        (js/simplex-noise.js:40-53)."""
+        total = 0.0
+        freq = 1.0
+        amp = 1.0
+        prev = 1.0
+        norm = 0.0
+        for _ in range(octaves):
+            n = self.noise3(x * freq, y * freq, z * freq)
+            n = offset - jnp.abs(n)
+            n = n * n
+            total = total + n * amp * prev
+            norm += amp
+            prev = jnp.minimum(n, 1.0)
+            freq *= lacunarity
+            amp *= gain
+        return total / norm
+
+
+def _corner_contrib(perm, pm12, grad, ii, jj, kk, xo, yo, zo):
+    """Attenuated gradient dot for one simplex corner."""
+    h = pm12[ii + perm[jj + perm[kk]]]
+    g = grad[h]  # [..., 3]
+    t = 0.6 - xo * xo - yo * yo - zo * zo
+    t = jnp.maximum(t, 0.0)
+    t2 = t * t
+    dot = g[..., 0] * xo + g[..., 1] * yo + g[..., 2] * zo
+    return t2 * t2 * dot
+
+
+@jax.jit
+def _noise3(perm, pm12, grad, x, y, z):
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+
+    s = (x + y + z) * _F3
+    i = jnp.floor(x + s)
+    j = jnp.floor(y + s)
+    k = jnp.floor(z + s)
+    t = (i + j + k) * _G3
+    x0 = x - i + t
+    y0 = y - j + t
+    z0 = z - k + t
+
+    # Simplex corner ordering (js/simplex-noise.js:22-23), branch-free.
+    cxy = x0 >= y0
+    cyz = y0 >= z0
+    cxz = x0 >= z0
+    one = jnp.ones_like(x, jnp.int32)
+    zero = jnp.zeros_like(x, jnp.int32)
+
+    def sel(c, a, b):
+        return jnp.where(c, a, b)
+
+    # branch truth table over (cxy, cyz, cxz)
+    i1 = sel(cxy & (cyz | cxz), one, zero)
+    j1 = sel(~cxy & cyz, one, zero)
+    k1 = sel((cxy & ~cyz & ~cxz) | (~cxy & ~cyz), one, zero)
+
+    i2 = sel(cxy | (~cxy & cyz & cxz), one, zero)
+    j2 = sel(cxy & cyz, one, sel(~cxy, one, zero))
+    k2 = sel(cxy & ~cyz, one, sel(~cxy & (~cyz | ~cxz), one, zero))
+
+    f1 = i1.astype(jnp.float32)
+    g1 = j1.astype(jnp.float32)
+    h1 = k1.astype(jnp.float32)
+    f2 = i2.astype(jnp.float32)
+    g2 = j2.astype(jnp.float32)
+    h2 = k2.astype(jnp.float32)
+
+    x1 = x0 - f1 + _G3
+    y1 = y0 - g1 + _G3
+    z1 = z0 - h1 + _G3
+    x2 = x0 - f2 + 2 * _G3
+    y2 = y0 - g2 + 2 * _G3
+    z2 = z0 - h2 + 2 * _G3
+    x3 = x0 - 1 + 3 * _G3
+    y3 = y0 - 1 + 3 * _G3
+    z3 = z0 - 1 + 3 * _G3
+
+    ii = i.astype(jnp.int32) & 255
+    jj = j.astype(jnp.int32) & 255
+    kk = k.astype(jnp.int32) & 255
+
+    n0 = _corner_contrib(perm, pm12, grad, ii, jj, kk, x0, y0, z0)
+    n1 = _corner_contrib(perm, pm12, grad, ii + i1, jj + j1, kk + k1, x1, y1, z1)
+    n2 = _corner_contrib(perm, pm12, grad, ii + i2, jj + j2, kk + k2, x2, y2, z2)
+    n3 = _corner_contrib(perm, pm12, grad, ii + 1, jj + 1, kk + 1, x3, y3, z3)
+
+    return 32.0 * (n0 + n1 + n2 + n3)

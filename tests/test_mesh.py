@@ -1,0 +1,88 @@
+"""Mesh builder tests: Fibonacci geometry, watertight closure, adjacency
+structure invariants (SURVEY.md §2.2 TPU note: fixed-degree padded arrays)."""
+
+import numpy as np
+import pytest
+
+from planet_heightmap_generation_tpu.mesh import build_sphere, generate_fibonacci_sphere
+from planet_heightmap_generation_tpu.ops.rng import ParkMiller
+
+
+def test_fibonacci_points_on_unit_sphere():
+    rng = ParkMiller(1)
+    xyz = generate_fibonacci_sphere(5000, 0.75, rng)
+    np.testing.assert_allclose(np.linalg.norm(xyz, axis=1), 1.0, atol=1e-12)
+
+
+def test_fibonacci_no_jitter_consumes_no_rng():
+    a = ParkMiller(1)
+    generate_fibonacci_sphere(100, 0.0, a)
+    b = ParkMiller(1)
+    assert a() == b()
+
+
+def test_fibonacci_jitter_consumes_4n_draws():
+    a = ParkMiller(1)
+    generate_fibonacci_sphere(100, 0.5, a)
+    b = ParkMiller(1)
+    b.sequence(400)
+    assert a() == b()
+
+
+def test_graph_invariants(tiny_sphere):
+    g = tiny_sphere
+    assert g.n_cells == 2001
+    assert g.n_padded % 1024 == 0
+    # symmetric adjacency
+    n, k = g.nbr_idx.shape
+    for r in [0, 1, 500, 1000, g.pole_id]:
+        for j in range(k):
+            if not g.nbr_mask[r, j]:
+                continue
+            nb = g.nbr_idx[r, j]
+            back = g.nbr_idx[nb][g.nbr_mask[nb]]
+            assert r in back, f"edge {r}->{nb} not symmetric"
+    # every real cell has >= 3 neighbors (watertight sphere)
+    assert (g.deg[: g.n_cells] >= 3).all()
+    # padding inert
+    assert not g.nbr_mask[g.n_cells :].any()
+    assert not g.valid[g.n_cells :].any()
+    assert g.valid[: g.n_cells].all()
+
+
+def test_degrees_are_fibonacci_like(tiny_sphere):
+    g = tiny_sphere
+    deg = g.deg[: g.n_cells]
+    # spiral interior cells are mostly degree 6
+    assert np.median(deg) == 6
+    assert deg.max() <= 16
+
+
+def test_euler_characteristic(tiny_sphere):
+    """V - E + F = 2 for a watertight sphere triangulation."""
+    g = tiny_sphere
+    v = g.n_cells
+    e = int(g.nbr_mask.sum()) // 2
+    f = len(g.triangles)
+    assert v - e + f == 2
+
+
+def test_neighbor_dist_positive(tiny_sphere):
+    g = tiny_sphere
+    d = g.nbr_dist[g.nbr_mask]
+    assert (d > 0).all()
+    # chord distance bounded by cell spacing scale (~sqrt(4pi/N))
+    assert d.mean() < 5 * np.sqrt(4 * np.pi / g.n_cells)
+
+
+def test_determinism():
+    a = build_sphere(1500, 0.75, seed=7.0)
+    b = build_sphere(1500, 0.75, seed=7.0)
+    np.testing.assert_array_equal(a.pos, b.pos)
+    np.testing.assert_array_equal(a.nbr_idx, b.nbr_idx)
+
+
+def test_avg_edge_scales():
+    a = build_sphere(1000, 0.5, seed=1.0)
+    b = build_sphere(4000, 0.5, seed=1.0)
+    assert a.avg_edge > b.avg_edge * 1.7  # ~2x for 4x cells
