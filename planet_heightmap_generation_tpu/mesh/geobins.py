@@ -1,0 +1,108 @@
+"""Lat/lon bin index for nearest-cell queries on device.
+
+The reference finds the nearest coarse cell to an FBM-warped position with a
+warm-started greedy adjacency walk (js/coarse-plates.js:87-111) — inherently
+sequential. The TPU replacement is a **covering candidate index**: a fixed
+lat/lon grid where each bin stores every coarse cell within a radius chosen
+so that the true nearest cell of ANY query point falling in that bin is
+guaranteed to be among the candidates. The device query is then a pure
+gather + dot-product argmax over [N, K_c] — one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+
+
+@dataclasses.dataclass
+class GeoBins:
+    n_lat: int
+    n_lon: int
+    cand_idx: np.ndarray    # [n_lat*n_lon, K_c] i32 candidate cell indices
+    cand_mask: np.ndarray   # [n_lat*n_lon, K_c] bool
+    points: np.ndarray      # [M, 3] f32 the indexed cell positions
+
+
+def build_geobins(points: np.ndarray, n_lat: int = 90, n_lon: int = 180,
+                  extra_margin: float = 1e-3) -> GeoBins:
+    """Build the covering index on host (once per coarse mesh).
+
+    Coverage: for a bin with angular circumradius rho_b, and h_max the max
+    distance from any sphere point to its nearest indexed cell, every query
+    in the bin has its nearest cell within rho_b + h_max of the bin center.
+    """
+    m = len(points)
+    pts = points[:, :3].astype(np.float64)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    tree = cKDTree(pts)
+
+    # h_max estimate: max over indexed cells of distance to nearest other
+    # cell (upper bounds the query→nearest-cell distance on a well-spaced
+    # mesh; doubled for safety).
+    d2, _ = tree.query(pts, k=2)
+    h_max = float(d2[:, 1].max())
+
+    lat_edges = np.linspace(-np.pi / 2, np.pi / 2, n_lat + 1)
+    lon_edges = np.linspace(-np.pi, np.pi, n_lon + 1)
+    lat_c = 0.5 * (lat_edges[:-1] + lat_edges[1:])
+    lon_c = 0.5 * (lon_edges[:-1] + lon_edges[1:])
+
+    centers = np.stack(
+        np.meshgrid(lat_c, lon_c, indexing="ij"), axis=-1
+    ).reshape(-1, 2)
+    cx = np.cos(centers[:, 0]) * np.cos(centers[:, 1])
+    cy = np.cos(centers[:, 0]) * np.sin(centers[:, 1])
+    cz = np.sin(centers[:, 0])
+    c_xyz = np.stack([cx, cy, cz], axis=1)
+
+    dlat = np.pi / n_lat
+    # bin circumradius (chord): half-diagonal; lon extent shrinks with cos(lat)
+    dlon = 2 * np.pi / n_lon
+    half_diag_ang = 0.5 * np.sqrt(
+        dlat**2 + (dlon * np.maximum(0.05, np.cos(centers[:, 0])))**2
+    )
+    # chord radius for covering ball
+    radius = 2 * np.sin(np.minimum(np.pi / 2, half_diag_ang / 2)) + 2 * h_max + extra_margin
+
+    lists = tree.query_ball_point(c_xyz, radius)
+    k_c = max(1, max(len(l) for l in lists))
+    n_bins = n_lat * n_lon
+    cand_idx = np.zeros((n_bins, k_c), dtype=np.int32)
+    cand_mask = np.zeros((n_bins, k_c), dtype=bool)
+    for b, l in enumerate(lists):
+        if not l:
+            # isolated bin (shouldn't happen) — fall back to global nearest
+            _, j = tree.query(c_xyz[b])
+            l = [int(j)]
+        cand_idx[b, : len(l)] = l
+        cand_mask[b, : len(l)] = True
+
+    return GeoBins(
+        n_lat=n_lat, n_lon=n_lon,
+        cand_idx=cand_idx, cand_mask=cand_mask,
+        points=pts.astype(np.float32),
+    )
+
+
+def nearest_cell(bins_idx, bins_mask, bins_points, n_lat: int, n_lon: int,
+                 query_xyz: jax.Array) -> jax.Array:
+    """Device query: nearest indexed cell for each query position [N,3]."""
+    x, y, z = query_xyz[:, 0], query_xyz[:, 1], query_xyz[:, 2]
+    lat = jnp.arcsin(jnp.clip(z, -1.0, 1.0))
+    lon = jnp.arctan2(y, x)
+    bi = jnp.clip(((lat / jnp.pi + 0.5) * n_lat).astype(jnp.int32), 0, n_lat - 1)
+    bj = jnp.clip(((lon / (2 * jnp.pi) + 0.5) * n_lon).astype(jnp.int32), 0, n_lon - 1)
+    b = bi * n_lon + bj
+
+    cand = bins_idx[b]                      # [N, K_c]
+    mask = bins_mask[b]
+    cpos = bins_points[cand]                # [N, K_c, 3]
+    dots = jnp.einsum("nkc,nc->nk", cpos, query_xyz)
+    dots = jnp.where(mask, dots, -2.0)
+    best = jnp.argmax(dots, axis=1)
+    return jnp.take_along_axis(cand, best[:, None], 1)[:, 0]

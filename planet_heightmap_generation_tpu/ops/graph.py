@@ -1,0 +1,174 @@
+"""Device-side graph kernels over the padded neighbor arrays.
+
+Every reference algorithm that walks the half-edge mesh with queues becomes
+one of these vectorized forms (SURVEY.md §7 kernel families):
+
+- neighbor gather-reduce: ``gather_nbrs`` + masked reductions
+- majority-vote smoothing (reference js/plates.js:264-286)
+- connected components: min-label propagation + pointer jumping
+  (replaces the reference's per-plate BFS, js/plates.js:291-347)
+- frontier BFS → iterated masked label/min-plus updates under
+  ``lax.while_loop``
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+def gather_nbrs(field: jax.Array, nbr_idx: jax.Array) -> jax.Array:
+    """[N] field → [N, K] neighbor values (self where padded)."""
+    return field[nbr_idx]
+
+
+def masked_min_nbr(field, nbr_idx, nbr_mask, fill=jnp.inf):
+    v = field[nbr_idx]
+    return jnp.min(jnp.where(nbr_mask, v, fill), axis=1)
+
+
+def masked_max_nbr(field, nbr_idx, nbr_mask, fill=-jnp.inf):
+    v = field[nbr_idx]
+    return jnp.max(jnp.where(nbr_mask, v, fill), axis=1)
+
+
+def masked_mean_nbr(field, nbr_idx, nbr_mask):
+    v = field[nbr_idx]
+    s = jnp.sum(jnp.where(nbr_mask, v, 0.0), axis=1)
+    c = jnp.maximum(1, jnp.sum(nbr_mask, axis=1))
+    return s / c
+
+
+@partial(jax.jit, static_argnames=("num_passes",))
+def majority_smooth(labels, nbr_idx, nbr_mask, protect, num_passes: int = 3,
+                    first_threshold: float = 0.4, threshold: float = 0.5):
+    """Majority-vote boundary smoothing of an integer label field.
+
+    Re-design of reference smoothAndReconnectPlates' smoothing passes
+    (js/plates.js:264-286): a cell adopts the most common neighbor label
+    when its vote count exceeds ``deg * threshold`` (0.4 on pass 0, then
+    0.5). Jacobi-style (synchronous) instead of the reference's in-place
+    sweep — structurally equivalent, order-independent, fully parallel.
+
+    For each cell we compare each neighbor's label against every other
+    neighbor's ([N,K,K] comparisons, K≈8-16) — cheap VPU work that avoids
+    any data-dependent histogram.
+    """
+    deg = jnp.sum(nbr_mask, axis=1)
+
+    def one_pass(labels, thr):
+        nl = labels[nbr_idx]                       # [N, K]
+        same = (nl[:, :, None] == nl[:, None, :])  # [N, K, K]
+        same = same & nbr_mask[:, None, :] & nbr_mask[:, :, None]
+        counts = jnp.sum(same, axis=2)             # votes for each slot's label
+        counts = jnp.where(nbr_mask, counts, -1)
+        best_slot = jnp.argmax(counts, axis=1)
+        best_count = jnp.take_along_axis(counts, best_slot[:, None], 1)[:, 0]
+        best_label = jnp.take_along_axis(nl, best_slot[:, None], 1)[:, 0]
+        adopt = (best_count > deg * thr) & (~protect) & (deg > 0)
+        return jnp.where(adopt, best_label, labels)
+
+    for p in range(num_passes):
+        labels = one_pass(labels, first_threshold if p == 0 else threshold)
+    return labels
+
+
+@jax.jit
+def connected_components(nbr_idx, nbr_mask, same):
+    """Min-label connected components over edges where ``same[n,k]`` holds.
+
+    Label propagation with pointer jumping: per sweep each cell takes the
+    min label among same-class neighbors, then compresses twice
+    (label = label[label]). Converges in O(log diameter) sweeps — the
+    parallel replacement for the reference's sequential BFS floods.
+
+    Returns [N] int32 labels (min cell index of each component).
+    """
+    n = nbr_idx.shape[0]
+    init = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        nl = labels[nbr_idx]
+        nl = jnp.where(same & nbr_mask, nl, n)
+        new = jnp.minimum(labels, jnp.min(nl, axis=1))
+        new = new[new]
+        new = new[new]
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels
+
+
+@jax.jit
+def flood_assign(value, frontier, nbr_idx, nbr_mask):
+    """Propagate ``value`` outward from ``frontier`` cells (bool mask) to all
+    reachable unassigned cells, breadth-first; ties resolved by min value.
+
+    Replaces the reference's queue-based reassignment BFS
+    (js/plates.js:322-347). Returns (value, reached_mask).
+    """
+    n = nbr_idx.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+
+    def cond(state):
+        _, reached, changed = state
+        return changed
+
+    def body(state):
+        val, reached, _ = state
+        nv = jnp.where(reached[nbr_idx] & nbr_mask, val[nbr_idx], big)
+        best = jnp.min(nv, axis=1)
+        newly = (~reached) & (best < big)
+        val = jnp.where(newly, best, val)
+        reached2 = reached | newly
+        return val, reached2, jnp.any(newly)
+
+    val, reached, _ = jax.lax.while_loop(
+        cond, body, (value, frontier, jnp.bool_(True))
+    )
+    return val, reached
+
+
+@partial(jax.jit, static_argnames=("max_hops",))
+def bfs_hops(seeds, barrier, nbr_idx, nbr_mask, max_hops: int = 0,
+             rand_cost=None):
+    """Hop-distance BFS from ``seeds`` (bool), not crossing ``barrier`` cells.
+
+    The reference's randomized-frontier BFS (js/elevation.js:164-189) pops
+    queue entries in random order, producing organic non-circular fronts.
+    Here the same look is achieved with per-edge random hop costs
+    (``rand_cost`` [N] in [0.5, 1.5]): iterated min-plus relaxation
+    dist = min(dist, min_nbr(dist) + cost). Barrier cells never relax.
+
+    Returns float32 distances (inf where unreached / barrier).
+    """
+    n = nbr_idx.shape[0]
+    inf = jnp.float32(jnp.inf)
+    dist0 = jnp.where(seeds, 0.0, inf).astype(jnp.float32)
+    cost = jnp.ones(n, jnp.float32) if rand_cost is None else rand_cost
+
+    def cond(state):
+        i, _, changed = state
+        if max_hops > 0:
+            return changed & (i < max_hops)
+        return changed
+
+    def body(state):
+        i, dist, _ = state
+        nd = jnp.where(nbr_mask, dist[nbr_idx], inf)
+        relax = jnp.min(nd, axis=1) + cost
+        new = jnp.minimum(dist, relax)
+        new = jnp.where(barrier, inf, new)
+        new = jnp.where(seeds, 0.0, new)
+        return i + 1, new, jnp.any(new != dist)
+
+    _, dist, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, jnp.bool_(True))
+    )
+    return dist
