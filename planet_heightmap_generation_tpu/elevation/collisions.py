@@ -1,0 +1,170 @@
+"""Plate-boundary collision detection — fused device kernel.
+
+Re-design of reference findCollisions (js/elevation.js:27-122): for each
+boundary cell, the best-compressing foreign neighbor is found by moving both
+cells along their Euler-pole velocities for dt and comparing distances. Here
+the per-cell neighbor scan is one masked [N, K] reduction; boundary typing,
+deterministic per-plate-pair intensity hashing, and the density-driven
+subduction factor (tanh ramp + FBM undulation) are all fused into the same
+pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceGraph
+from ..ops.noise import Tables, fbm
+
+COLLISION_THRESHOLD = 0.75  # js/elevation.js:25
+
+
+class CollisionResult(NamedTuple):
+    mountain: jax.Array        # [N] bool seed masks
+    coastline: jax.Array
+    ocean: jax.Array
+    stress: jax.Array          # [N] f32
+    subduct: jax.Array         # [N] f32 (0.5 default)
+    btype: jax.Array           # [N] i32: 0 none / 1 convergent / 2 divergent / 3 transform
+    both_ocean: jax.Array      # [N] bool
+    has_ocean: jax.Array       # [N] bool
+
+
+def _pair_intensity(a, b):
+    """Deterministic per-plate-pair intensity 0.5–1.5 (js/elevation.js:44-53).
+
+    Hash inputs are plate SLOTS (dense ids) rather than the reference's seed
+    region ids — same distribution, different per-pair values."""
+    lo = jnp.minimum(a, b).astype(jnp.uint32)
+    hi = jnp.maximum(a, b).astype(jnp.uint32)
+    h = (lo * jnp.uint32(16807)) ^ (hi * jnp.uint32(48271))
+    h = ((h >> 16) ^ h) * jnp.uint32(0x45D9F3B)
+    return 0.5 + (h % jnp.uint32(10001)).astype(jnp.float32) / 10000.0
+
+
+@partial(jax.jit, static_argnames=("undul_octaves",))
+def find_collisions(g: DeviceGraph, r_plate, plate_is_ocean, plate_pole,
+                    plate_omega, plate_density, noise_t: Tables,
+                    dt: float, undul_octaves: int = 3) -> CollisionResult:
+    pos = g.pos
+    n = pos.shape[0]
+
+    # per-cell plate velocity v = omega * (pole x r)  (js/elevation.js:10-20)
+    pole = plate_pole[r_plate]                       # [N, 3]
+    omega = plate_omega[r_plate][:, None]
+    vel = omega * jnp.cross(pole, pos)               # [N, 3]
+
+    nb = g.nbr_idx
+    p_nb = r_plate[nb]                               # [N, K]
+    foreign = g.nbr_mask & (p_nb != r_plate[:, None])
+
+    pos_nb = pos[nb]                                 # [N, K, 3]
+    vel_nb = vel[nb]
+    d = pos[:, None, :] - pos_nb
+    d_before = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    a = pos[:, None, :] + vel[:, None, :] * dt
+    b = pos_nb + vel_nb * dt
+    ad = a - b
+    d_after = jnp.sqrt(jnp.sum(ad * ad, axis=-1))
+    comp = jnp.where(foreign, d_before - d_after, -jnp.inf)
+
+    best = jnp.argmax(comp, axis=1)                  # [N]
+    has = foreign.any(axis=1)
+    best_comp = jnp.take_along_axis(comp, best[:, None], 1)[:, 0]
+
+    rv = vel[:, None, :] - vel_nb                    # relative velocity
+    normal = -jnp.sum(rv * d, axis=-1) / jnp.where(d_before == 0, 1.0, d_before)
+    best_normal = jnp.take_along_axis(normal, best[:, None], 1)[:, 0]
+    best_plate = jnp.take_along_axis(p_nb, best[:, None], 1)[:, 0]
+
+    collided = has & (best_comp > COLLISION_THRESHOLD * dt)
+
+    thresh = 0.3 * dt
+    btype = jnp.where(
+        best_normal > thresh, 1, jnp.where(best_normal < -thresh, 2, 3)
+    )
+    btype = jnp.where(has, btype, 0).astype(jnp.int32)
+
+    stress = jnp.where(
+        collided, best_comp / dt * _pair_intensity(r_plate, best_plate), 0.0
+    ).astype(jnp.float32)
+
+    my_dens = plate_density[r_plate]
+    nb_dens = plate_density[best_plate]
+    dd = my_dens - nb_dens
+    base = 0.5 + 0.5 * jnp.tanh(dd * 8.0)
+    undul_strength = jnp.exp(-jnp.abs(dd) * 12.0)
+    undul = fbm(noise_t, pos[:, 0] * 6, pos[:, 1] * 6, pos[:, 2] * 6,
+                octaves=undul_octaves) * 0.4 * undul_strength
+    subduct = jnp.where(
+        has, jnp.clip(base + undul, 0.0, 1.0), 0.5
+    ).astype(jnp.float32)
+
+    r_oc = plate_is_ocean[r_plate]
+    n_oc = plate_is_ocean[best_plate]
+    both_ocean = has & r_oc & n_oc
+    has_ocean = has & (r_oc | n_oc)
+
+    # seed routing (js/elevation.js:109-118)
+    oo = r_oc & n_oc
+    cc = (~r_oc) & (~n_oc)
+    mountain = has & (
+        (cc & collided & (subduct < 0.55)) | ((~oo) & (~cc) & collided)
+    )
+    coastline = has & (
+        (oo & collided)
+        | (cc & collided & (subduct >= 0.55))
+        | ((~oo) & (~cc) & (~collided))
+    )
+    ocean = has & oo & (~collided)
+
+    return CollisionResult(
+        mountain=mountain, coastline=coastline, ocean=ocean,
+        stress=stress, subduct=subduct, btype=btype,
+        both_ocean=both_ocean, has_ocean=has_ocean,
+    )
+
+
+@jax.jit
+def propagate_stress(stress, subduct, r_plate, plate_is_ocean,
+                     nbr_idx, nbr_mask, decay, subduct_decay, num_passes):
+    """Frontier BFS stress diffusion inward through the same plate
+    (js/elevation.js:127-159), as synchronous max-relaxation sweeps.
+
+    Per sweep: each cell takes the strongest propagated stress among
+    same-plate neighbors (source decays by ``subduct_decay`` when its
+    subduct factor > 0.5, else ``decay``; propagation stops below 0.005 and
+    never starts from ocean-plate cells). The subduct factor rides along.
+    """
+    ocean_cell = plate_is_ocean[r_plate]
+    same = (r_plate[nbr_idx] == r_plate[:, None]) & nbr_mask
+    active0 = stress > 0.01
+
+    def cond(state):
+        i, _, _, _, changed = state
+        return changed & (i < num_passes)
+
+    def body(state):
+        i, stress, sf, active, _ = state
+        eff = jnp.where(sf > 0.5, subduct_decay, decay)
+        prop = stress * eff
+        sendable = active & (~ocean_cell) & (prop >= 0.005)
+        cand = jnp.where(same & sendable[nbr_idx], prop[nbr_idx], -jnp.inf)
+        best = jnp.argmax(cand, axis=1)
+        best_val = jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+        src = jnp.take_along_axis(nbr_idx, best[:, None], 1)[:, 0]
+        upd = best_val > stress
+        stress2 = jnp.where(upd, best_val, stress)
+        sf2 = jnp.where(upd, sf[src], sf)
+        return i + 1, stress2, sf2, active | upd, jnp.any(upd)
+
+    _, stress, subduct, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), stress.astype(jnp.float32),
+         subduct.astype(jnp.float32), active0, jnp.bool_(True)),
+    )
+    return stress, subduct

@@ -172,3 +172,74 @@ def bfs_hops(seeds, barrier, nbr_idx, nbr_mask, max_hops: int = 0,
         cond, body, (jnp.int32(0), dist0, jnp.bool_(True))
     )
     return dist
+
+
+def hash01(idx, salt: int):
+    """Deterministic per-cell hash → [0,1) on device (uint32 mix), used to
+    randomize BFS fronts like the reference's Knuth-hash priority noise
+    (js/terrain-post.js:96-105)."""
+    h = (idx.astype(jnp.uint32) + jnp.uint32(salt & 0xFFFFFFFF)) * jnp.uint32(2654435761)
+    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    return (h % jnp.uint32(1 << 24)).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+@partial(jax.jit, static_argnames=("max_hops", "num_carry"))
+def carry_bfs(seeds, carried, nbr_idx, nbr_mask, max_hops: int,
+              allow=None, edge_same=None, tie=None, num_carry: int = 0):
+    """Integer-hop BFS from ``seeds`` carrying per-seed values outward.
+
+    Parallel re-design of the reference's carry-propagating queue BFS
+    (coast boundary js/elevation.js:462-509, rift :511-538, ridge :542-568,
+    fracture :570-596, back-arc :598-631, arcs :1054-1086): per sweep each
+    eligible cell adopts (dist+1, carried values) from the neighbor with the
+    lexicographically smallest (dist, -tie) — ties resolved toward higher
+    ``tie`` exactly like the reference's equal-distance stress override
+    (js/elevation.js:502-506).
+
+    - ``carried``: [C, N] stacked float32 values following the BFS tree.
+    - ``allow``:   [N] bool — cells permitted to be reached (default all).
+    - ``edge_same``: [N, K] bool — extra per-edge constraint (e.g. same
+      plate), aligned with nbr_idx slots of the RECEIVING cell.
+    - dist is capped at ``max_hops``; unreached cells return +inf.
+    """
+    n = nbr_idx.shape[0]
+    inf_i = jnp.int32(max_hops + 1)
+    dist0 = jnp.where(seeds, 0, inf_i).astype(jnp.int32)
+    if tie is None:
+        tie = jnp.zeros(n, jnp.float32)
+    if allow is None:
+        allow = jnp.ones(n, bool)
+    if edge_same is None:
+        edge_same = jnp.ones_like(nbr_mask)
+    if carried is None:
+        carried = jnp.zeros((max(1, num_carry), n), jnp.float32)
+
+    def pack(d, t):
+        return d.astype(jnp.float32) * 2.0 - t
+
+    def cond(state):
+        i, _, _, _, changed = state
+        return changed & (i < max_hops)
+
+    def body(state):
+        i, dist, tie_c, carr, _ = state
+        nd = dist[nbr_idx] + 1                     # [N, K]
+        ntie = tie_c[nbr_idx]
+        ok = nbr_mask & edge_same & (nd <= max_hops) & allow[:, None]
+        npack = jnp.where(ok, pack(nd, ntie), jnp.inf)
+        best = jnp.argmin(npack, axis=1)
+        best_pack = jnp.take_along_axis(npack, best[:, None], 1)[:, 0]
+        adopt = best_pack < pack(dist, tie_c)
+        src = jnp.take_along_axis(nbr_idx, best[:, None], 1)[:, 0]
+        new_dist = jnp.where(adopt, dist[src] + 1, dist)
+        new_tie = jnp.where(adopt, tie_c[src], tie_c)
+        new_carr = jnp.where(adopt[None, :], carr[:, src], carr)
+        changed = jnp.any(adopt)
+        return i + 1, new_dist, new_tie, new_carr, changed
+
+    _, dist, tie_out, carr, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, tie, carried, jnp.bool_(True))
+    )
+    dist_f = jnp.where(dist > max_hops, jnp.inf, dist.astype(jnp.float32))
+    return dist_f, tie_out, carr

@@ -14,6 +14,8 @@ reference's float64 within ~1e-5 away from simplex-cell boundaries.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,6 +29,8 @@ _GRAD = np.array(
      [0, 1, 1], [0, -1, 1], [0, 1, -1], [0, -1, -1]],
     dtype=np.float32,
 )
+
+_GRAD_J = jnp.asarray(_GRAD)  # seed-independent, safe to embed in jaxprs
 
 _F3 = 1.0 / 3.0
 _G3 = 1.0 / 6.0
@@ -47,53 +51,80 @@ def make_perm_tables(seed: float) -> tuple[np.ndarray, np.ndarray]:
     return perm, pm12
 
 
+class Tables(NamedTuple):
+    """Seed-dependent permutation tables — passed as jit ARGUMENTS (never
+    closed over) so kernels don't re-trace per seed."""
+
+    perm: jax.Array   # [512] i32
+    pm12: jax.Array   # [512] i32
+
+
+def tables(seed: float) -> Tables:
+    perm, pm12 = make_perm_tables(seed)
+    return Tables(jnp.asarray(perm), jnp.asarray(pm12))
+
+
+def noise3(t: Tables, x, y, z):
+    return _noise3(t.perm, t.pm12, _GRAD_J, x, y, z)
+
+
+def fbm(t: Tables, x, y, z, octaves: int = 5, persistence: float = 2.0 / 3.0):
+    """Power-of-two lacunarity fBm (js/simplex-noise.js:34-38)."""
+    total = 0.0
+    norm = 0.0
+    amp = 1.0
+    for o in range(octaves):
+        f = float(1 << o)
+        total = total + amp * noise3(t, x * f, y * f, z * f)
+        norm += amp
+        amp *= persistence
+    return total / norm
+
+
+def ridged_fbm(t: Tables, x, y, z, octaves: int = 6, lacunarity: float = 2.0,
+               gain: float = 0.5, offset: float = 1.0):
+    """Ridged multifractal with previous-term feedback
+    (js/simplex-noise.js:40-53)."""
+    total = 0.0
+    freq = 1.0
+    amp = 1.0
+    prev = 1.0
+    norm = 0.0
+    for _ in range(octaves):
+        n = noise3(t, x * freq, y * freq, z * freq)
+        n = offset - jnp.abs(n)
+        n = n * n
+        total = total + n * amp * prev
+        norm += amp
+        prev = jnp.minimum(n, 1.0)
+        freq *= lacunarity
+        amp *= gain
+    return total / norm
+
+
 class SimplexNoise:
-    """Seeded, vectorized simplex noise field evaluator.
+    """Seeded, vectorized simplex noise field evaluator (object wrapper
+    around the functional API above).
 
     All methods take jnp arrays of identical shape and return the same shape.
     Octave counts are static Python ints (unrolled under jit).
     """
 
     def __init__(self, seed: float):
-        perm, pm12 = make_perm_tables(seed)
-        self.perm = jnp.asarray(perm)
-        self.pm12 = jnp.asarray(pm12)
-        self.grad = jnp.asarray(_GRAD)
+        self.tables = tables(seed)
+        self.perm = self.tables.perm
+        self.pm12 = self.tables.pm12
+        self.grad = _GRAD_J
 
     def noise3(self, x, y, z):
-        return _noise3(self.perm, self.pm12, self.grad, x, y, z)
+        return noise3(self.tables, x, y, z)
 
     def fbm(self, x, y, z, octaves: int = 5, persistence: float = 2.0 / 3.0):
-        """Power-of-two lacunarity fBm (js/simplex-noise.js:34-38)."""
-        total = 0.0
-        norm = 0.0
-        amp = 1.0
-        for o in range(octaves):
-            f = float(1 << o)
-            total = total + amp * self.noise3(x * f, y * f, z * f)
-            norm += amp
-            amp *= persistence
-        return total / norm
+        return fbm(self.tables, x, y, z, octaves, persistence)
 
     def ridged_fbm(self, x, y, z, octaves: int = 6, lacunarity: float = 2.0,
                    gain: float = 0.5, offset: float = 1.0):
-        """Ridged multifractal with previous-term feedback
-        (js/simplex-noise.js:40-53)."""
-        total = 0.0
-        freq = 1.0
-        amp = 1.0
-        prev = 1.0
-        norm = 0.0
-        for _ in range(octaves):
-            n = self.noise3(x * freq, y * freq, z * freq)
-            n = offset - jnp.abs(n)
-            n = n * n
-            total = total + n * amp * prev
-            norm += amp
-            prev = jnp.minimum(n, 1.0)
-            freq *= lacunarity
-            amp *= gain
-        return total / norm
+        return ridged_fbm(self.tables, x, y, z, octaves, lacunarity, gain, offset)
 
 
 def _corner_contrib(perm, pm12, grad, ii, jj, kk, xo, yo, zo):

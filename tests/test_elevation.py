@@ -1,0 +1,94 @@
+"""Elevation synthesis tests (SURVEY.md §2.4): end-to-end structure checks —
+land fraction, feature presence, determinism, NaN-freedom."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from planet_heightmap_generation_tpu.mesh import build_sphere
+from planet_heightmap_generation_tpu.mesh.device import to_device
+from planet_heightmap_generation_tpu.tectonics import (
+    generate_coarse_plates, project_coarse_plates, build_super_plates,
+)
+from planet_heightmap_generation_tpu.tectonics.coarse import assign_plate_densities
+from planet_heightmap_generation_tpu.ops.graph import majority_smooth
+from planet_heightmap_generation_tpu.elevation import assign_elevation
+
+
+def _run(seed, n=4000, n_coarse=2000, plates=12, continents=2, noise_mag=0.25):
+    cp = generate_coarse_plates(seed=seed, num_plates=plates,
+                                num_continents=continents, n_coarse=n_coarse)
+    assign_plate_densities(cp.plates)
+    sp = build_super_plates(cp.graph, cp.r_plate, cp.plates)
+    g = build_sphere(n, 0.75, seed=float(seed))
+    gd = to_device(g)
+    rp = project_coarse_plates(g, cp, seed=seed, num_plates=plates)
+    rp = majority_smooth(rp, gd.nbr_idx, gd.nbr_mask,
+                         jnp.zeros(gd.n_padded, bool), num_passes=3)
+    rsp = jnp.asarray(sp.plate_to_super[np.asarray(rp)])
+    res = assign_elevation(
+        gd, rp,
+        jnp.asarray(cp.plates.is_ocean),
+        jnp.asarray(cp.plates.pole.astype(np.float32)),
+        jnp.asarray(cp.plates.omega.astype(np.float32)),
+        jnp.asarray(cp.plates.density.astype(np.float32)),
+        seed=seed, noise_mag=noise_mag,
+        r_super_plate=rsp,
+        super_is_ocean=jnp.asarray(sp.is_ocean),
+        super_pole=jnp.asarray(sp.pole.astype(np.float32)),
+        super_omega=jnp.asarray(sp.omega.astype(np.float32)),
+        super_density=jnp.asarray(sp.density.astype(np.float32)),
+    )
+    return g, res
+
+
+@pytest.fixture(scope="module")
+def planet():
+    return _run(seed=11)
+
+
+def test_no_nans_and_range(planet):
+    g, res = planet
+    e = np.asarray(res.elevation)[: g.n_cells]
+    assert np.isfinite(e).all()
+    assert -1.5 < e.min() < 0, "ocean floor should be negative"
+    assert 0 < e.max() < 3.0, "mountains should be positive, bounded"
+
+
+def test_land_fraction(planet):
+    g, res = planet
+    e = np.asarray(res.elevation)[: g.n_cells]
+    land = (e > 0).mean()
+    assert 0.1 < land < 0.5, land  # landCoverage default 0.3
+
+
+def test_ocean_plates_mostly_below_sea(planet):
+    g, res = planet
+    e = np.asarray(res.elevation)[: g.n_cells]
+    oc = np.asarray(res.r_is_ocean)[: g.n_cells]
+    assert e[oc].mean() < -0.1
+    assert e[~oc].mean() > 0.0
+
+
+def test_stress_positive_at_boundaries(planet):
+    g, res = planet
+    s = np.asarray(res.stress)[: g.n_cells]
+    assert (s >= 0).all()
+    assert (s > 0.01).sum() > 50  # collision belts exist
+
+
+def test_debug_layers_complete(planet):
+    _, res = planet
+    expected = {"base", "tectonic", "noise", "interior", "coastal", "ocean",
+                "hotspot", "tecActivity", "margins", "backArc", "foldRidge",
+                "orogenicPower", "superPlates"}
+    assert expected <= set(res.debug.keys())
+
+
+def test_determinism_and_seed_sensitivity():
+    # same shapes as the module fixture so every jitted kernel is a cache hit
+    _, a = _run(seed=5)
+    _, b = _run(seed=5)
+    np.testing.assert_array_equal(np.asarray(a.elevation), np.asarray(b.elevation))
+    _, c = _run(seed=6)
+    assert np.abs(np.asarray(a.elevation) - np.asarray(c.elevation)).mean() > 0.01
