@@ -1,0 +1,138 @@
+"""Composite erosion loop and the full terrain post-processing stage.
+
+Re-design of reference erodeComposite (js/terrain-post.js:369-707) and
+runPostProcessing (js/planet-worker.js:40-102): interleaves glacial →
+hydraulic → thermal per iteration, with an initial priority-flood carve
+(0.5) before hydraulic and a mid-loop re-flood (0.85) at 75% of iterations.
+Iteration structure is a host loop over jitted per-step kernels (counts are
+small and static); the reference's per-iteration land sort disappears —
+ordering is subsumed by the pointer-doubling solvers.
+
+Slider → parameter mapping matches js/planet-worker.js:58-93.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceGraph
+from ..ops.noise import tables
+from .flood import priority_flood_carve
+from .fluvial import steepest_receivers, flow_accumulation, stream_power_solve
+from .thermal import thermal_step
+from .glacial import glaciation_index, glacial_step, glacial_post_smooth
+from .smooth import smooth_elevation, sharpen_ridges, apply_soil_creep
+from .warp import warp_terrain
+
+
+def erode_composite(g: DeviceGraph, elev, is_ocean,
+                    h_iters: int, k_coeff: float, m_exp: float, dt: float,
+                    t_iters: int, talus_slope: float, k_thermal: float,
+                    g_iters: int, glacial_strength: float):
+    total = max(h_iters, t_iters, g_iters)
+    if total <= 0:
+        return elev
+
+    nbr_idx, nbr_mask, nbr_dist, valid = (
+        g.nbr_idx, g.nbr_mask, g.nbr_dist, g.valid)
+
+    if h_iters > 0:
+        elev, _, _ = priority_flood_carve(
+            elev, is_ocean, nbr_idx, nbr_mask, valid, jnp.float32(0.5))
+
+    glac_idx = None
+    if g_iters > 0 and glacial_strength > 0:
+        glac_idx = glaciation_index(g.pos, elev, is_ocean, valid,
+                                    jnp.float32(glacial_strength))
+    g_scale = 1.0 / g_iters if g_iters > 0 else 0.0
+
+    mid_flood_iter = round(total * 0.75)
+    mid_done = False
+
+    for it in range(total):
+        if not mid_done and it >= mid_flood_iter:
+            mid_done = True
+            elev, _, _ = priority_flood_carve(
+                elev, is_ocean, nbr_idx, nbr_mask, valid, jnp.float32(0.85))
+
+        if glac_idx is not None and it < g_iters:
+            elev = glacial_step(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist,
+                                valid, glac_idx, jnp.float32(glacial_strength),
+                                jnp.float32(g_scale))
+
+        if it < h_iters:
+            rcv, dist, is_pit = steepest_receivers(
+                elev, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid)
+            land = (~is_ocean) & valid
+            flow = flow_accumulation(land, rcv, is_pit)
+            elev = stream_power_solve(
+                elev, is_ocean, valid, rcv, dist, is_pit, flow,
+                jnp.float32(k_coeff), jnp.float32(m_exp), jnp.float32(dt))
+
+        if it < t_iters:
+            elev = thermal_step(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist,
+                                valid, jnp.float32(talus_slope),
+                                jnp.float32(k_thermal))
+
+    if glac_idx is not None:
+        elev = glacial_post_smooth(elev, is_ocean, nbr_idx, nbr_mask, valid,
+                                   glac_idx)
+    return elev
+
+
+def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
+                        hotspot: Optional[jax.Array] = None):
+    """Full post stage with the worker's slider mapping
+    (js/planet-worker.js:40-102). ``params`` keys: smoothing,
+    glacial_erosion, hydraulic_erosion, thermal_erosion, ridge_sharpening,
+    terrain_warp. Returns (elevation, erosion_delta)."""
+    smoothing = params.get("smoothing", 0.0)
+    glacial = params.get("glacial_erosion", 0.0)
+    hydraulic = params.get("hydraulic_erosion", 0.0)
+    thermal = params.get("thermal_erosion", 0.0)
+    ridge = params.get("ridge_sharpening", 0.0)
+    tw = params.get("terrain_warp", 0.0)
+
+    if tw > 0:
+        max_amp = 0.12 * tw
+        avg_edge = float(jnp.sum(g.nbr_dist) / jnp.maximum(1, jnp.sum(g.nbr_mask)))
+        max_steps = int(math.ceil(max_amp / max(avg_edge, 1e-6))) + 8
+        hot = hotspot if hotspot is not None else jnp.zeros_like(elev)
+        elev = warp_terrain(elev, g.pos, g.nbr_idx, g.nbr_mask, g.valid,
+                            tables(seed + 9999), jnp.float32(tw), hot,
+                            max_steps=max_steps)
+
+    # ocean mask frozen BEFORE smoothing/erosion (js/planet-worker.js:51-54)
+    is_ocean = (elev <= 0) & g.valid
+    pre = elev
+
+    if smoothing > 0:
+        iters = round(1 + smoothing * 4)
+        strength = 0.2 + smoothing * 0.5
+        elev = smooth_elevation(elev, is_ocean, g.nbr_idx, g.nbr_mask,
+                                g.valid, iters, jnp.float32(strength))
+
+    if glacial > 0 or hydraulic > 0 or thermal > 0:
+        elev = erode_composite(
+            g, elev, is_ocean,
+            h_iters=round(hydraulic * 20), k_coeff=hydraulic * 0.0006,
+            m_exp=0.5, dt=1.0,
+            t_iters=round(thermal * 10), talus_slope=1.2 - thermal * 0.4,
+            k_thermal=thermal * 0.15,
+            g_iters=round(glacial * 10), glacial_strength=glacial)
+
+    if ridge > 0:
+        iters = round(1 + ridge * 3)
+        elev = sharpen_ridges(elev, is_ocean, g.nbr_idx, g.nbr_mask, g.valid,
+                              iters, jnp.float32(ridge * 0.08))
+
+    # soil creep always applied (js/planet-worker.js:92)
+    elev = apply_soil_creep(elev, is_ocean, g.nbr_idx, g.nbr_mask, g.valid,
+                            3, jnp.float32(0.1125))
+
+    erosion_delta = elev - pre
+    return elev, erosion_delta

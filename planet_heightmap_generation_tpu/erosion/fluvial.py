@@ -1,0 +1,148 @@
+"""Hydraulic erosion: steepest-descent routing, flow accumulation, and the
+Braun-Willett implicit stream-power solve — all as log-depth pointer-doubling
+kernels.
+
+The reference (js/terrain-post.js:560-641) sorts land by descending
+elevation, accumulates flow sequentially, then solves
+``h' = (h + F·h'_rcv)/(1+F)`` in ascending order. TPU re-design:
+
+- receivers: one masked [N,K] argmax (steepest drop; pits → no erosion,
+  they are rare after priority-flood).
+- flow accumulation: (S, P) pointer doubling — S ← S + scatter_add(S, P),
+  P ← P[P] — log(max chain) rounds (Barnes 2016-style parallel accumulation).
+- implicit solve: the per-cell update is affine in the receiver's NEW value,
+  h'_i = a_i + b_i·h'_rcv with a = h/(1+F), b = F/(1+F) < 1, so the chain
+  solution composes associatively: (a,b)∘(a',b') = (a + b·a', b·b').
+  Pointer doubling yields the exact sequential solution in O(log depth).
+- sediment deposition: eroded mass scatter-adds onto receivers with the
+  slope-dependent deposit fraction, capped at the donor's new height
+  (parallel form of js/terrain-post.js:626-638).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def steepest_receivers(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid):
+    """Per land cell: steepest-descent neighbor, else least-ascent (pit).
+    Returns (receiver[N] i32 (-1 none), dist[N], is_pit[N])."""
+    land = (~is_ocean) & valid
+    drop = elev[:, None] - elev[nbr_idx]
+    drop = jnp.where(nbr_mask, drop, -jnp.inf)
+    best = jnp.argmax(drop, axis=1)
+    best_drop = jnp.take_along_axis(drop, best[:, None], 1)[:, 0]
+
+    # pit: least-ascent neighbor
+    ascent = jnp.where(nbr_mask, -drop, jnp.inf)
+    best_up = jnp.argmin(ascent, axis=1)
+    slot = jnp.where(best_drop > 0, best, best_up)
+    rcv = jnp.take_along_axis(nbr_idx, slot[:, None], 1)[:, 0]
+    dist = jnp.take_along_axis(nbr_dist, slot[:, None], 1)[:, 0]
+    dist = jnp.maximum(dist, 1e-6)
+    has = nbr_mask.any(axis=1) & land
+    rcv = jnp.where(has, rcv, -1).astype(jnp.int32)
+    is_pit = has & (best_drop <= 0)
+    return rcv, dist, is_pit
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def flow_accumulation(land, rcv, is_pit, rounds: int = 22):
+    """Upstream drainage area (cell count), pointer-doubled.
+    Pits route to the sink so pointer cycles cannot inflate flow."""
+    n = land.shape[0]
+    sink = n
+    p = jnp.where(land & (rcv >= 0) & (~is_pit), rcv, sink).astype(jnp.int32)
+    s = jnp.where(land, 1.0, 0.0).astype(jnp.float32)
+
+    def step(carry, _):
+        s, p = carry
+        added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
+        s2 = s + added[:n]
+        p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
+        return (s2, p2), None
+
+    (s, _), _ = jax.lax.scan(step, (s, p), None, length=rounds)
+    return s
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
+                       k_coeff, m_exp, dt, rounds: int = 22):
+    """Exact Braun-Willett implicit solve via affine pointer doubling,
+    followed by parallel sediment deposition. Returns new elevation."""
+    n = elev.shape[0]
+    land = (~is_ocean) & valid
+    active = land & (rcv >= 0) & (~is_pit)
+    rcv_c = jnp.clip(rcv, 0, n - 1)
+
+    factor = jnp.where(
+        active, k_coeff * jnp.power(jnp.maximum(flow, 0.0), m_exp) * dt / dist, 0.0)
+    a = jnp.where(active, elev / (1 + factor), elev)
+    b = jnp.where(active, factor / (1 + factor), 0.0)
+
+    # terminal values: ocean receivers contribute max(elev, 0); pits and
+    # ocean cells resolve to their own (clamped) height
+    term = jnp.where(is_ocean, jnp.maximum(elev, 0.0), elev).astype(jnp.float32)
+
+    # affine composition toward roots: h'_i = A_i + B_i * term[root_i]
+    p = jnp.where(active, rcv_c, n).astype(jnp.int32)
+
+    def step(carry, _):
+        A, B, p = carry
+        Ap = jnp.concatenate([A, jnp.array([0.0], A.dtype)])[p]
+        Bp = jnp.concatenate([B, jnp.array([1.0], B.dtype)])[p]
+        pp = jnp.concatenate([p, jnp.array([n], p.dtype)])[p]
+        # only compose when p is a real cell that itself is active; when p
+        # points at a root (inactive cell), B*term resolves at the end.
+        is_real = p < n
+        active_p = jnp.concatenate([active, jnp.array([False])])[p]
+        A2 = jnp.where(is_real & active_p, A + B * Ap, A)
+        B2 = jnp.where(is_real & active_p, B * Bp, B)
+        p2 = jnp.where(is_real & active_p, pp, p)
+        return (A2, B2, p2), None
+
+    (A, B, p), _ = jax.lax.scan(
+        step, (a.astype(jnp.float32), b.astype(jnp.float32), p), None,
+        length=rounds)
+
+    root_term = jnp.concatenate([term, jnp.array([0.0], term.dtype)])[p]
+    h_new = jnp.where(active, A + B * root_term, elev)
+
+    # clamps (js/terrain-post.js:623-624): not below receiver, not below 0
+    rcv_new = jnp.concatenate([h_new, jnp.array([0.0])])[
+        jnp.where(rcv >= 0, rcv_c, n)]
+    rcv_floor = jnp.where(is_ocean[rcv_c] & (rcv >= 0), 0.0,
+                          jnp.where(rcv >= 0, jnp.maximum(rcv_new, 0.0), 0.0))
+    h_new = jnp.where(active, jnp.maximum(jnp.maximum(h_new, rcv_floor), 0.0),
+                      h_new)
+
+    # sediment deposition (js/terrain-post.js:626-638)
+    eroded = jnp.where(active, jnp.maximum(0.0, elev - h_new), 0.0)
+    rcv_of_rcv = jnp.where(rcv >= 0, rcv[rcv_c], -1)
+    rr_c = jnp.clip(rcv_of_rcv, 0, n - 1)
+    rcv_slope = jnp.where(
+        (rcv_of_rcv >= 0) & (dist[rcv_c] > 0),
+        jnp.abs(h_new[rcv_c] - h_new[rr_c]) / jnp.maximum(dist[rcv_c], 1e-6),
+        0.0)
+    deposit_frac = 0.5 / (1 + rcv_slope * 50.0)
+    deposit = jnp.where(
+        active & (~is_ocean[rcv_c]), eroded * deposit_frac, 0.0)
+
+    dep_sum = jnp.zeros(n + 1, jnp.float32).at[
+        jnp.where(rcv >= 0, rcv_c, n)].add(deposit)[:n]
+    # cap: receiver must stay below the lowest donor's new height
+    donor_min = jnp.full(n + 1, jnp.inf, jnp.float32).at[
+        jnp.where((rcv >= 0) & (deposit > 0), rcv_c, n)].min(
+        jnp.where(deposit > 0, h_new, jnp.inf))[:n]
+    target = h_new + dep_sum
+    target = jnp.where(jnp.isfinite(donor_min),
+                       jnp.minimum(target, donor_min), target)
+    h_new = jnp.where(land & (dep_sum > 0), jnp.maximum(h_new, target), h_new)
+    # note: jnp.maximum keeps cells from being LOWERED by the cap
+
+    return h_new.astype(jnp.float32)
