@@ -1,0 +1,156 @@
+"""Equirectangular map export — device-side Voronoi rasterization.
+
+The reference renders the Voronoi map mesh with WebGL in ≤2048² tiles and
+stitches a PNG up to 65_536 px wide (js/planet-mesh.js:1752-1950). The
+TPU-native replacement rasterizes directly: each cell id is scattered to its
+equirect pixel, then a **jump-flood (JFA) Voronoi fill** propagates the
+nearest cell id across the image in O(log max_dim) gather passes — the
+nearest-cell metric is the true spherical dot product, and horizontal
+neighbors wrap. Output: [H, W] cell ids, from which any per-cell field or
+color map is a single gather. Arbitrarily large widths tile row-wise.
+
+Export types mirror the reference's six (color / biome / koppen /
+heightmap / landheightmap / landmask, js/planet-mesh.js:1782-1792).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.device import DeviceGraph
+from .colors import (elevation_to_color, biome_color, heightmap_color,
+                     land_heightmap_color, land_mask_color)
+from ..climate.koppen import KOPPEN_COLORS
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def rasterize_cell_ids(g: DeviceGraph, height: int, width: int) -> jax.Array:
+    """[H, W] int32 nearest-cell ids via scatter-seed + jump flooding."""
+    x, y, z = g.pos[:, 0], g.pos[:, 1], g.pos[:, 2]
+    lat = jnp.arcsin(jnp.clip(y, -1.0, 1.0))
+    lon = jnp.arctan2(x, z)
+    px = jnp.clip(((lon / jnp.pi + 1) * 0.5 * width).astype(jnp.int32), 0, width - 1)
+    py = jnp.clip(((0.5 - lat / jnp.pi) * height).astype(jnp.int32), 0, height - 1)
+
+    n = g.pos.shape[0]
+    flat = jnp.where(g.valid, py * width + px, height * width)
+    ids = jnp.full(height * width + 1, -1, jnp.int32).at[flat].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:-1].reshape(height, width)
+
+    # pixel sphere positions
+    plat = (0.5 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height) * jnp.pi
+    plon = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2 - 1) * jnp.pi
+    cl = jnp.cos(plat)[:, None]
+    ppos = jnp.stack([
+        cl * jnp.sin(plon)[None, :],
+        jnp.broadcast_to(jnp.sin(plat)[:, None], (height, width)),
+        cl * jnp.cos(plon)[None, :],
+    ], axis=-1)  # [H, W, 3], matching lon = atan2(x, z)
+
+    pos_ext = jnp.concatenate([g.pos, jnp.zeros((1, 3), g.pos.dtype)])
+
+    def score(ids_hw):
+        cpos = pos_ext[jnp.where(ids_hw >= 0, ids_hw, n)]
+        s = jnp.sum(cpos * ppos, axis=-1)
+        return jnp.where(ids_hw >= 0, s, -2.0)
+
+    steps = []
+    k = max(height, width) // 2
+    while k >= 1:
+        steps.append(k)
+        k //= 2
+    if steps and steps[-1] != 1:
+        steps.append(1)
+
+    for k in steps:
+        best = ids
+        best_s = score(ids)
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dx == 0 and dy == 0:
+                    continue
+                cand = jnp.roll(ids, (dy, dx), axis=(0, 1))
+                if dy != 0:
+                    # vertical shifts must not wrap across poles
+                    if dy > 0:
+                        cand = cand.at[:dy, :].set(-1)
+                    else:
+                        cand = cand.at[dy:, :].set(-1)
+                s = score(cand)
+                take = s > best_s
+                best = jnp.where(take, cand, best)
+                best_s = jnp.where(take, s, best_s)
+        ids = best
+    return ids
+
+
+EXPORT_TYPES = ("color", "biome", "koppen", "heightmap", "landheightmap",
+                "landmask")
+
+
+def export_map(g: DeviceGraph, elevation, export_type: str = "heightmap",
+               height: int = 1024, width: int = 2048,
+               koppen: Optional[jax.Array] = None,
+               cell_ids: Optional[jax.Array] = None) -> np.ndarray:
+    """Render one export type to an [H, W, 3] float32 image (0..1).
+    Pass a precomputed ``cell_ids`` raster to share it across types
+    (the reference's exportMapBatch, js/planet-mesh.js:1965-2180)."""
+    if export_type not in EXPORT_TYPES:
+        raise ValueError(f"unknown export type {export_type!r}")
+    if export_type in ("biome", "koppen") and koppen is None:
+        raise ValueError(f"{export_type} export requires the koppen field")
+
+    if cell_ids is None:
+        cell_ids = rasterize_cell_ids(g, height, width)
+    e = elevation[cell_ids]
+
+    if export_type == "heightmap":
+        img = heightmap_color(e)
+    elif export_type == "landheightmap":
+        img = land_heightmap_color(e)
+    elif export_type == "landmask":
+        img = land_mask_color(e)
+    elif export_type == "color":
+        img = elevation_to_color(e)
+    elif export_type == "koppen":
+        kop = koppen[cell_ids]
+        img = jnp.asarray(np.asarray(KOPPEN_COLORS, np.float32))[
+            jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1)]
+    else:  # biome
+        kop = koppen[cell_ids]
+        img = biome_color(kop, e)
+    return np.asarray(img)
+
+
+def export_map_batch(g: DeviceGraph, elevation, types, height=1024,
+                     width=2048, koppen=None):
+    """Shared-raster multi-type export (Export All)."""
+    ids = rasterize_cell_ids(g, height, width)
+    return {t: export_map(g, elevation, t, height, width, koppen, cell_ids=ids)
+            for t in types}
+
+
+def save_png(image: np.ndarray, path: str) -> None:
+    """Minimal PNG writer (no external deps): 8-bit RGB."""
+    import struct
+    import zlib
+
+    h, w = image.shape[:2]
+    rgb8 = np.clip(np.asarray(image) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    raw = b"".join(
+        b"\x00" + rgb8[row].tobytes() for row in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)

@@ -1,0 +1,176 @@
+"""Command-line interface — mirrors the five worker commands plus export
+(SURVEY.md §7 M5: generate / reapply / edit / climate / import / export).
+
+Usage:
+    python -m planet_heightmap_generation_tpu.cli generate --seed 42 --cells 40000 --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli generate --code <planet-code> --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli export --in planet.npz --type heightmap --width 2048 --out map.png
+    python -m planet_heightmap_generation_tpu.cli import-heightmap --image gray.npy --cells 40000 --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli code --seed 42 --cells 204000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .config import GenerationParams
+from .api.planet_code import encode_planet_code, decode_planet_code
+
+
+def _params_from_args(args) -> GenerationParams:
+    if getattr(args, "code", None):
+        d = decode_planet_code(args.code)
+        if d is None:
+            sys.exit(f"invalid planet code: {args.code}")
+        return GenerationParams(
+            seed=d["seed"], n_cells=int(d["N"]), jitter=d["jitter"],
+            n_plates=int(d["P"]), num_continents=int(d["numContinents"]),
+            roughness=d["roughness"], smoothing=d["smoothing"],
+            glacial_erosion=d["glacialErosion"],
+            hydraulic_erosion=d["hydraulicErosion"],
+            thermal_erosion=d["thermalErosion"],
+            ridge_sharpening=d["ridgeSharpening"],
+            soil_creep=d["soilCreep"], terrain_warp=d["terrainWarp"],
+            continent_size_variety=d["continentSizeVariety"],
+            temperature_offset=d["temperatureOffset"],
+            precipitation_offset=d["precipitationOffset"],
+            land_coverage=d["landCoverage"],
+            toggled_indices=tuple(d["toggledIndices"]),
+            skip_climate=args.skip_climate or None,
+        )
+    return GenerationParams(
+        seed=args.seed, n_cells=args.cells, jitter=args.jitter,
+        n_plates=args.plates, num_continents=args.continents,
+        roughness=args.roughness, smoothing=args.smoothing,
+        glacial_erosion=args.glacial, hydraulic_erosion=args.hydraulic,
+        thermal_erosion=args.thermal, ridge_sharpening=args.ridge,
+        terrain_warp=args.warp, land_coverage=args.land_coverage,
+        skip_climate=args.skip_climate or None,
+    )
+
+
+def _save_result(result, path: str):
+    out = dict(
+        elevation=np.asarray(result.elevation)[: result.graph.n_cells],
+        pos=result.graph.pos[: result.graph.n_cells],
+        r_plate=np.asarray(result.r_plate)[: result.graph.n_cells],
+        plate_is_ocean=result.plate_is_ocean,
+        stress=np.asarray(result.stress)[: result.graph.n_cells],
+        seed=result.params.seed,
+        n_cells=result.params.n_cells,
+    )
+    if result.climate is not None:
+        out["koppen"] = np.asarray(result.climate["koppen"])[: result.graph.n_cells]
+        for s in ("summer", "winter"):
+            out[f"temperature_{s}"] = np.asarray(
+                result.climate["temp"][f"r_temperature_{s}"])[: result.graph.n_cells]
+            out[f"precip_{s}"] = np.asarray(
+                result.climate["precip"][f"r_precip_{s}"])[: result.graph.n_cells]
+    np.savez_compressed(path, **out)
+    print(f"saved {path}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="planet_heightmap_generation_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_gen_args(p):
+        p.add_argument("--code", help="planet code (overrides sliders)")
+        p.add_argument("--seed", type=int, default=42)
+        p.add_argument("--cells", type=int, default=204_000)
+        p.add_argument("--jitter", type=float, default=0.75)
+        p.add_argument("--plates", type=int, default=80)
+        p.add_argument("--continents", type=int, default=4)
+        p.add_argument("--roughness", type=float, default=0.25)
+        p.add_argument("--smoothing", type=float, default=0.3)
+        p.add_argument("--glacial", type=float, default=0.0)
+        p.add_argument("--hydraulic", type=float, default=0.5)
+        p.add_argument("--thermal", type=float, default=0.1)
+        p.add_argument("--ridge", type=float, default=0.35)
+        p.add_argument("--warp", type=float, default=0.5)
+        p.add_argument("--land-coverage", type=float, default=0.3)
+        p.add_argument("--skip-climate", action="store_true")
+        p.add_argument("--out", default="planet.npz")
+
+    g = sub.add_parser("generate", help="full planet generation")
+    add_gen_args(g)
+
+    e = sub.add_parser("export", help="equirect map export")
+    e.add_argument("--in", dest="infile", required=True)
+    e.add_argument("--type", default="heightmap")
+    e.add_argument("--width", type=int, default=2048)
+    e.add_argument("--out", default="map.png")
+
+    i = sub.add_parser("import-heightmap", help="grayscale equirect import")
+    add_gen_args(i)
+    i.add_argument("--image", required=True, help=".npy grayscale [H,W] 0-255")
+
+    c = sub.add_parser("code", help="print the planet code for parameters")
+    add_gen_args(c)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "code":
+        p = _params_from_args(args)
+        print(encode_planet_code(
+            p.seed, p.n_cells, p.jitter, p.n_plates, p.num_continents,
+            p.roughness, p.terrain_warp, p.smoothing, p.glacial_erosion,
+            p.hydraulic_erosion, p.thermal_erosion, p.ridge_sharpening,
+            p.soil_creep, p.continent_size_variety, p.temperature_offset,
+            p.precipitation_offset, p.land_coverage,
+            list(p.toggled_indices)))
+        return
+
+    if args.cmd == "generate":
+        from .pipeline import PlanetEngine
+        params = _params_from_args(args)
+        engine = PlanetEngine()
+        result = engine.generate(
+            params, on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
+        print(result.timing.table())
+        print("diagnostics:", result.diagnostics())
+        _save_result(result, args.out)
+        return
+
+    if args.cmd == "import-heightmap":
+        from .pipeline import PlanetEngine
+        params = _params_from_args(args)
+        img = np.load(args.image)
+        engine = PlanetEngine()
+        result = engine.import_heightmap(
+            img.astype(np.float32).ravel(), img.shape[1], img.shape[0], params)
+        _save_result(result, args.out)
+        return
+
+    if args.cmd == "export":
+        from .mesh.build import build_sphere
+        from .mesh.device import to_device
+        from .api.export import export_map, save_png
+        import jax.numpy as jnp
+
+        data = np.load(args.infile)
+        n = int(data["n_cells"])
+        seed = int(data["seed"])
+        # rebuild the mesh from the stored seed/cells (mesh is deterministic)
+        graph = build_sphere(n, 0.75, seed=float(seed))
+        g = to_device(graph)
+        elev = np.zeros(g.n_padded, np.float32)
+        elev[: graph.n_cells] = data["elevation"]
+        koppen = None
+        if "koppen" in data:
+            k = np.zeros(g.n_padded, np.int32)
+            k[: graph.n_cells] = data["koppen"]
+            koppen = jnp.asarray(k)
+        img = export_map(g, jnp.asarray(elev), args.type,
+                         height=args.width // 2, width=args.width,
+                         koppen=koppen)
+        save_png(img, args.out)
+        print(f"saved {args.out}")
+        return
+
+
+if __name__ == "__main__":
+    main()

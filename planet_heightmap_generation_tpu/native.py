@@ -1,0 +1,79 @@
+"""Native (C++) host components — loader.
+
+The coarse-grid plate flood fill is the one genuinely sequential stage
+(data-dependent RNG draws inside a frontier loop), so it runs as native
+host code. The shared library is compiled on first use from
+``native/coarse_fill.cpp`` with the system toolchain; everything degrades
+gracefully to the pure-Python implementation when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "native", "coarse_fill.cpp")
+_BUILD_DIR = os.path.join(_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "coarse_fill.so")
+
+
+def _compile() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _SO, _SRC],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError):
+            continue
+    return False
+
+
+def get_coarse_fill():
+    """ctypes handle to coarse_fill_plates, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SRC):
+            return None
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+
+        fn = lib.coarse_fill_plates
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),   # nbr_idx
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # nbr_mask
+            ndpointer(np.float64, flags="C_CONTIGUOUS"), # pos
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),   # seeds
+            ndpointer(np.float64, flags="C_CONTIGUOUS"), # growth_rate
+            ndpointer(np.float64, flags="C_CONTIGUOUS"), # growth_dir
+            ndpointer(np.float64, flags="C_CONTIGUOUS"), # dir_strength
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64),              # rng_state
+            ctypes.POINTER(ctypes.c_int64),              # randint_state
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),   # r_plate
+        ]
+        _LIB = fn
+        return _LIB

@@ -1,0 +1,122 @@
+"""Multi-device scaling — sharding the cell dimension and batching seeds.
+
+The reference's only parallelism is one Web Worker (SURVEY.md §2.10). The
+TPU-native equivalents:
+
+- **data parallelism over cells**: every field is [N]; shard N across the
+  ``cells`` mesh axis with NamedSharding. Neighbor gathers at shard
+  boundaries become XLA-inserted collectives over ICI — the halo exchange
+  is implicit (gather indices are static, so XLA lowers them efficiently).
+- **batch parallelism over seeds** (BASELINE config 5: 16-seed sweeps):
+  vmap the field pipeline over a leading seed axis and shard that axis
+  across devices — embarrassingly parallel, DCN-friendly across hosts.
+
+Global reductions (stress p97, wind-speed p95) ride psum/sort collectives
+XLA emits from the same jitted code — no hand-written communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.noise import Tables, fbm
+
+
+def make_planet_mesh(n_devices: Optional[int] = None,
+                     seed_parallel: int = 1,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """Device mesh with ('seed', 'cells') axes. ``seed_parallel`` devices
+    run independent planets; the rest shard the cell dimension. Falls back
+    to the virtual CPU backend when the default backend has too few
+    devices (single-chip dev boxes)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    devs = np.asarray(devs[:n_devices])
+    cells_parallel = n_devices // seed_parallel
+    grid = devs.reshape(seed_parallel, cells_parallel)
+    return Mesh(grid, axis_names=("seed", "cells"))
+
+
+def shard_cells(mesh: Mesh, *arrays, batched: bool = False):
+    """Place [N] / [N,K] arrays (or [B,N...] when batched) with the cell
+    dimension split across the 'cells' axis."""
+    out = []
+    for a in arrays:
+        if batched:
+            spec = P("seed", "cells", *([None] * (a.ndim - 2)))
+        else:
+            spec = P("cells", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, *arrays):
+    out = [jax.device_put(a, NamedSharding(mesh, P())) for a in arrays]
+    return out if len(out) > 1 else out[0]
+
+
+def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
+    """One fused 'terrain step' — the framework's forward-step analog:
+    noise uplift + bilateral smoothing + thermal transport over the sphere
+    graph. Pure function of arrays; jit/vmap/shard-friendly. Used by the
+    compile-check entrypoints and the multi-chip dry run."""
+    t = Tables(perm, pm12)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    uplift = fbm(t, x * 4, y * 4, z * 4, 4) * 0.05
+    e = elev + jnp.where(valid, uplift, 0.0)
+
+    # bilateral smooth (one pass)
+    nh = e[nbr_idx]
+    w = jnp.where(nbr_mask, 1.0 / (1.0 + jnp.abs(nh - e[:, None]) * 8.0), 0.0)
+    wsum = jnp.sum(w, axis=1)
+    avg = jnp.sum(nh * w, axis=1) / jnp.maximum(wsum, 1e-20)
+    e = jnp.where(valid & (wsum > 0), e + (avg - e) * 0.3, e)
+
+    # thermal transport (one pass, gather-only)
+    d = jnp.maximum(nbr_dist, 1e-6)
+    slope = (e[:, None] - e[nbr_idx]) / d
+    excess_out = jnp.where(nbr_mask & (slope > 0.8), (slope - 0.8) * d, 0.0)
+    total = jnp.sum(excess_out, axis=1)
+    shed = 0.15 * total * 0.5
+    excess_in = jnp.where(nbr_mask & (-slope > 0.8), (-slope - 0.8) * d, 0.0)
+    nb_total = total[nbr_idx]
+    nb_shed = shed[nbr_idx]
+    recv = jnp.sum(jnp.where(nb_total > 0,
+                             excess_in / jnp.maximum(nb_total, 1e-20) * nb_shed,
+                             0.0), axis=1)
+    e = e + jnp.where(valid, recv - shed, 0.0)
+
+    # a global reduction so the sharded step exercises collectives
+    mean_land = jnp.sum(jnp.where(valid, e, 0.0)) / jnp.maximum(
+        1, jnp.sum(valid))
+    return (e - 0.01 * mean_land).astype(jnp.float32)
+
+
+def batched_terrain_step(mesh: Mesh):
+    """jit of terrain_step vmapped over a seed batch and sharded over the
+    ('seed','cells') mesh — the multi-chip 'training step' equivalent."""
+    vstep = jax.vmap(terrain_step,
+                     in_axes=(0, None, None, None, None, None, 0, 0))
+
+    in_shardings = (
+        NamedSharding(mesh, P("seed", "cells")),        # elev [B, N]
+        NamedSharding(mesh, P("cells", None)),           # pos
+        NamedSharding(mesh, P("cells", None)),           # nbr_idx
+        NamedSharding(mesh, P("cells", None)),           # nbr_mask
+        NamedSharding(mesh, P("cells", None)),           # nbr_dist
+        NamedSharding(mesh, P("cells")),                 # valid
+        NamedSharding(mesh, P("seed", None)),            # perm [B, 512]
+        NamedSharding(mesh, P("seed", None)),            # pm12
+    )
+    out_sharding = NamedSharding(mesh, P("seed", "cells"))
+    return jax.jit(vstep, in_shardings=in_shardings,
+                   out_shardings=out_sharding)

@@ -1,0 +1,581 @@
+"""The planet engine — TPU-native equivalent of the reference's Web Worker
+runtime (js/planet-worker.js).
+
+Commands (same five as the worker protocol, js/planet-worker.js:944-954):
+``generate``, ``reapply``, ``edit_recompute``, ``compute_climate``,
+``import_heightmap``. State is retained between commands (mesh, pre-post
+elevation, plates, cached wind/ocean) so incremental recomputes resume
+mid-pipeline instead of regenerating — the same two-tier checkpointing the
+reference uses (retained worker state ``W`` + planet codes).
+
+Host work is limited to the fixed-size coarse-grid tectonics and dome lists;
+everything per-cell runs as jitted device kernels on [NP] arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationParams, AUTO_CLIMATE_THRESHOLD
+from ..mesh.build import SphereGraph, build_sphere
+from ..mesh.device import DeviceGraph, to_device
+from ..ops.rng import ParkMiller
+from ..ops.noise import tables
+from ..ops.graph import majority_smooth, connected_components, flood_assign
+from ..tectonics import (generate_coarse_plates, project_coarse_plates,
+                         build_super_plates)
+from ..tectonics.coarse import assign_plate_densities
+from ..elevation import assign_elevation
+from ..erosion import run_post_processing
+from ..climate import (compute_wind, compute_ocean_currents,
+                       compute_precipitation, compute_temperature,
+                       classify_koppen)
+from .timing import StageTimer
+
+
+@dataclasses.dataclass
+class PlanetResult:
+    """The 'done' message equivalent (js/planet-worker.js:299-325)."""
+
+    graph: SphereGraph
+    params: GenerationParams
+    r_plate: jax.Array
+    plate_seeds: np.ndarray
+    plate_is_ocean: np.ndarray
+    plate_density: np.ndarray
+    pre_post_elevation: jax.Array
+    elevation: jax.Array
+    t_elevation: jax.Array
+    stress: jax.Array
+    mountain_mask: jax.Array
+    coastline_mask: jax.Array
+    ocean_seed_mask: jax.Array
+    climate: Optional[Dict]
+    debug: Dict
+    timing: StageTimer
+
+    @property
+    def land_fraction(self) -> float:
+        e = np.asarray(self.elevation)[: self.graph.n_cells]
+        return float((e > 0).mean())
+
+    def diagnostics(self) -> Dict:
+        """NaN / land-fraction checks (js/generate.js:317-330)."""
+        e = np.asarray(self.elevation)[: self.graph.n_cells]
+        return dict(
+            nan_count=int(np.isnan(e).sum()),
+            land_fraction=float((e > 0).mean()),
+            min=float(np.nanmin(e)), max=float(np.nanmax(e)),
+        )
+
+
+def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_passes=3):
+    """Hi-res plate smoothing + reconnection on device (the reference runs
+    smoothAndReconnectPlates on the projected map, js/planet-worker.js:173).
+    Seed protection is a no-op after projection (js/plates.js:246-250)."""
+    protect = jnp.zeros(g.n_padded, bool)
+    r_plate = majority_smooth(r_plate, g.nbr_idx, g.nbr_mask, protect,
+                              num_passes=num_passes)
+
+    same = (r_plate[g.nbr_idx] == r_plate[:, None])
+    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    n = g.n_padded
+    sizes = jax.ops.segment_sum(
+        g.valid.astype(jnp.int32), labels, num_segments=n)
+    comp_size = sizes[labels]
+    num_p = int(jnp.max(r_plate)) + 1
+    max_per_plate = jax.ops.segment_max(
+        jnp.where(g.valid, comp_size, 0), r_plate, num_segments=num_p)
+    is_max = comp_size == max_per_plate[r_plate]
+    # tie-break toward the smallest label
+    min_tied = jax.ops.segment_min(
+        jnp.where(is_max & g.valid, labels, n), r_plate, num_segments=num_p)
+    in_main = is_max & (labels == min_tied[r_plate]) & g.valid
+    val, _ = flood_assign(r_plate, in_main, g.nbr_idx, g.nbr_mask)
+    return jnp.where(g.valid, val, r_plate).astype(jnp.int32)
+
+
+def _plate_device_arrays(plates):
+    return (jnp.asarray(plates.is_ocean),
+            jnp.asarray(plates.pole.astype(np.float32)),
+            jnp.asarray(plates.omega.astype(np.float32)),
+            jnp.asarray(plates.density.astype(np.float32)))
+
+
+@jax.jit
+def _triangle_elevations(elevation, triangles):
+    return jnp.mean(elevation[triangles], axis=1)
+
+
+class PlanetEngine:
+    """Stateful engine mirroring the worker's retained-state protocol."""
+
+    def __init__(self):
+        self._w: Optional[dict] = None
+
+    # ── generate ─────────────────────────────────────────────────────
+    def generate(self, params: GenerationParams,
+                 on_progress: Optional[Callable] = None) -> PlanetResult:
+        """Full pipeline (js/planet-worker.js:136-339)."""
+        timer = StageTimer()
+        prog = on_progress or (lambda pct, label: None)
+        seed = params.seed
+        skip_climate = params.skip_climate
+        if skip_climate is None:
+            skip_climate = params.n_cells > AUTO_CLIMATE_THRESHOLD
+
+        prog(0, "Shaping the world…")
+        rng = ParkMiller(seed)
+        with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
+            graph = build_sphere(params.n_cells, params.jitter, rng=rng)
+            g = to_device(graph)
+
+        prog(10, "Generating coarse plates…")
+        with timer.stage("Coarse plates"):
+            coarse = generate_coarse_plates(
+                seed, params.n_plates, params.num_continents,
+                params.continent_size_variety, params.land_coverage)
+
+        prog(20, "Projecting plates…")
+        with timer.stage("Project coarse → hi-res", sync=lambda: r_plate):
+            r_plate = project_coarse_plates(graph, coarse, seed, params.n_plates)
+
+        prog(25, "Smoothing boundaries…")
+        with timer.stage("Smooth projected plates", sync=lambda: r_plate):
+            r_plate = _smooth_and_reconnect_device(g, r_plate, 3)
+
+        plates = coarse.plates
+        original_is_ocean = plates.is_ocean.copy()
+        for i in params.toggled_indices:
+            if i < plates.num_plates:
+                plates.is_ocean[i] = not plates.is_ocean[i]
+        assign_plate_densities(plates)
+
+        super_sp = None
+        if params.n_plates >= 8:
+            with timer.stage("Super plates"):
+                super_sp = build_super_plates(graph, np.asarray(r_plate)[: graph.n_cells], plates)
+
+        prog(35, "Raising mountains…")
+        with timer.stage("Elevation", sync=lambda: elev_res.elevation):
+            p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
+            kw = {}
+            if super_sp is not None:
+                kw = dict(
+                    r_super_plate=jnp.asarray(
+                        super_sp.plate_to_super.astype(np.int32))[r_plate],
+                    super_is_ocean=jnp.asarray(super_sp.is_ocean),
+                    super_pole=jnp.asarray(super_sp.pole.astype(np.float32)),
+                    super_omega=jnp.asarray(super_sp.omega.astype(np.float32)),
+                    super_density=jnp.asarray(super_sp.density.astype(np.float32)),
+                )
+            elev_res = assign_elevation(
+                g, r_plate, p_ocean, p_pole, p_omega, p_dens,
+                seed=seed, noise_mag=params.roughness, spread=params.spread,
+                **kw)
+
+        pre_post = elev_res.elevation
+
+        prog(60, "Eroding terrain…")
+        with timer.stage("Terrain post-processing", sync=lambda: elevation):
+            elevation, erosion_delta = run_post_processing(
+                g, pre_post, seed, dataclasses.asdict(params),
+                hotspot=elev_res.debug.get("hotspot"))
+        debug = dict(elev_res.debug)
+        debug["erosionDelta"] = erosion_delta
+
+        climate = None
+        if not skip_climate:
+            climate = self._run_climate(
+                g, elevation, p_ocean, r_plate, seed, params, timer, prog, debug)
+
+        with timer.stage("Triangle elevations"):
+            t_elev = _triangle_elevations(elevation, jnp.asarray(graph.triangles))
+
+        self._w = dict(
+            graph=graph, g=g, params=params, seed=seed,
+            r_plate=r_plate, plates=plates, super_sp=super_sp,
+            original_is_ocean=original_is_ocean,
+            pre_post=pre_post, elevation_final=elevation,
+            mountain=elev_res.mountain, coastline=elev_res.coastline,
+            ocean_seeds=elev_res.ocean_seeds, stress=elev_res.stress,
+            hotspot=elev_res.debug.get("hotspot"),
+            cached_wind=(climate or {}).get("wind"),
+            cached_ocean=(climate or {}).get("ocean"),
+        )
+
+        return PlanetResult(
+            graph=graph, params=params, r_plate=r_plate,
+            plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
+            plate_density=plates.density,
+            pre_post_elevation=pre_post, elevation=elevation,
+            t_elevation=t_elev, stress=elev_res.stress,
+            mountain_mask=elev_res.mountain,
+            coastline_mask=elev_res.coastline,
+            ocean_seed_mask=elev_res.ocean_seeds,
+            climate=climate, debug=debug, timing=timer)
+
+    # ── climate helper ───────────────────────────────────────────────
+    def _run_climate(self, g, elevation, plate_is_ocean, r_plate, seed,
+                     params, timer, prog, debug):
+        prog(70, "Simulating wind patterns…")
+        noise_t = tables(seed)
+        with timer.stage("Wind simulation"):
+            wind = compute_wind(g, elevation, plate_is_ocean, r_plate, noise_t)
+        prog(78, "Computing ocean currents…")
+        with timer.stage("Ocean currents"):
+            ocean = compute_ocean_currents(g, elevation, wind)
+        prog(82, "Computing precipitation…")
+        with timer.stage("Precipitation"):
+            precip = compute_precipitation(
+                g, elevation, wind, ocean,
+                params.precipitation_offset, params.land_coverage)
+        prog(86, "Computing temperature…")
+        with timer.stage("Temperature"):
+            temp = compute_temperature(
+                g, elevation, wind, ocean, precip, params.temperature_offset)
+        with timer.stage("Köppen classification"):
+            koppen = classify_koppen(
+                elevation, temp["r_temperature_summer"],
+                temp["r_temperature_winter"], precip["r_precip_summer"],
+                precip["r_precip_winter"])
+        debug.update(
+            pressureSummer=wind["r_pressure_summer"],
+            pressureWinter=wind["r_pressure_winter"],
+            windSpeedSummer=wind["r_wind_speed_summer"],
+            windSpeedWinter=wind["r_wind_speed_winter"],
+            continentality=wind["r_continentality"],
+            precipSummer=precip["r_precip_summer"],
+            precipWinter=precip["r_precip_winter"],
+            rainShadowSummer=precip["r_rainshadow_summer"],
+            rainShadowWinter=precip["r_rainshadow_winter"],
+            tempSummer=temp["r_temperature_summer"],
+            tempWinter=temp["r_temperature_winter"],
+            koppen=koppen,
+        )
+        return dict(wind=wind, ocean=ocean, precip=precip, temp=temp,
+                    koppen=koppen)
+
+    # ── reapply (sculpting) ──────────────────────────────────────────
+    def reapply(self, sculpt: Optional[dict] = None,
+                skip_climate: bool = False,
+                on_progress: Optional[Callable] = None) -> PlanetResult:
+        """Re-run post-processing from retained pre-post elevation
+        (js/planet-worker.js:341-440)."""
+        if self._w is None:
+            raise RuntimeError("No retained state for reapply")
+        w = self._w
+        timer = StageTimer()
+        prog = on_progress or (lambda pct, label: None)
+        params = w["params"]
+        if sculpt:
+            params = params.replace(**sculpt)
+            w["params"] = params
+
+        prog(20, "Eroding terrain…")
+        with timer.stage("Terrain post-processing", sync=lambda: elevation):
+            elevation, erosion_delta = run_post_processing(
+                w["g"], w["pre_post"], w["seed"], dataclasses.asdict(params),
+                hotspot=w.get("hotspot"))
+        w["elevation_final"] = elevation
+
+        debug = dict(erosionDelta=erosion_delta)
+        climate = None
+        if not skip_climate:
+            p_ocean = jnp.asarray(w["plates"].is_ocean)
+            climate = self._run_climate(
+                w["g"], elevation, p_ocean, w["r_plate"], w["seed"], params,
+                timer, prog, debug)
+            w["cached_wind"] = climate["wind"]
+            w["cached_ocean"] = climate["ocean"]
+        else:
+            w["cached_wind"] = None
+            w["cached_ocean"] = None
+
+        with timer.stage("Triangle elevations"):
+            t_elev = _triangle_elevations(
+                elevation, jnp.asarray(w["graph"].triangles))
+
+        return PlanetResult(
+            graph=w["graph"], params=params, r_plate=w["r_plate"],
+            plate_seeds=w["plates"].seeds,
+            plate_is_ocean=w["plates"].is_ocean,
+            plate_density=w["plates"].density,
+            pre_post_elevation=w["pre_post"], elevation=elevation,
+            t_elevation=t_elev, stress=w["stress"],
+            mountain_mask=w["mountain"], coastline_mask=w["coastline"],
+            ocean_seed_mask=w["ocean_seeds"],
+            climate=climate, debug=debug, timing=timer)
+
+    # ── edit recompute (plate ocean/land toggles) ────────────────────
+    def edit_recompute(self, toggled_indices,
+                       skip_climate: bool = False,
+                       on_progress: Optional[Callable] = None) -> PlanetResult:
+        """Re-run elevation→post→climate with toggled plate state
+        (js/planet-worker.js:442-577)."""
+        if self._w is None:
+            raise RuntimeError("No retained state for edit_recompute")
+        w = self._w
+        timer = StageTimer()
+        prog = on_progress or (lambda pct, label: None)
+        params = w["params"]
+        graph, g, seed = w["graph"], w["g"], w["seed"]
+        plates = w["plates"]
+
+        plates.is_ocean = w["original_is_ocean"].copy()
+        for i in toggled_indices:
+            if i < plates.num_plates:
+                plates.is_ocean[i] = not plates.is_ocean[i]
+        assign_plate_densities(plates)
+
+        super_sp = None
+        if plates.num_plates >= 8:
+            with timer.stage("Super plates"):
+                super_sp = build_super_plates(
+                    graph, np.asarray(w["r_plate"])[: graph.n_cells], plates)
+        w["super_sp"] = super_sp
+
+        prog(0, "Rebuilding elevation…")
+        with timer.stage("Elevation", sync=lambda: elev_res.elevation):
+            p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
+            kw = {}
+            if super_sp is not None:
+                kw = dict(
+                    r_super_plate=jnp.asarray(
+                        super_sp.plate_to_super.astype(np.int32))[w["r_plate"]],
+                    super_is_ocean=jnp.asarray(super_sp.is_ocean),
+                    super_pole=jnp.asarray(super_sp.pole.astype(np.float32)),
+                    super_omega=jnp.asarray(super_sp.omega.astype(np.float32)),
+                    super_density=jnp.asarray(super_sp.density.astype(np.float32)),
+                )
+            elev_res = assign_elevation(
+                g, w["r_plate"], p_ocean, p_pole, p_omega, p_dens,
+                seed=seed, noise_mag=params.roughness, spread=params.spread,
+                **kw)
+        pre_post = elev_res.elevation
+
+        prog(50, "Eroding terrain…")
+        with timer.stage("Terrain post-processing", sync=lambda: elevation):
+            elevation, erosion_delta = run_post_processing(
+                g, pre_post, seed, dataclasses.asdict(params),
+                hotspot=elev_res.debug.get("hotspot"))
+        debug = dict(elev_res.debug)
+        debug["erosionDelta"] = erosion_delta
+
+        climate = None
+        if not skip_climate:
+            climate = self._run_climate(
+                g, elevation, jnp.asarray(plates.is_ocean), w["r_plate"],
+                seed, params, timer, prog, debug)
+            w["cached_wind"] = climate["wind"]
+            w["cached_ocean"] = climate["ocean"]
+        else:
+            w["cached_wind"] = None
+            w["cached_ocean"] = None
+
+        with timer.stage("Triangle elevations"):
+            t_elev = _triangle_elevations(elevation, jnp.asarray(graph.triangles))
+
+        w.update(pre_post=pre_post, elevation_final=elevation,
+                 mountain=elev_res.mountain, coastline=elev_res.coastline,
+                 ocean_seeds=elev_res.ocean_seeds, stress=elev_res.stress,
+                 hotspot=elev_res.debug.get("hotspot"))
+
+        return PlanetResult(
+            graph=graph, params=params, r_plate=w["r_plate"],
+            plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
+            plate_density=plates.density,
+            pre_post_elevation=pre_post, elevation=elevation,
+            t_elevation=t_elev, stress=elev_res.stress,
+            mountain_mask=elev_res.mountain,
+            coastline_mask=elev_res.coastline,
+            ocean_seed_mask=elev_res.ocean_seeds,
+            climate=climate, debug=debug, timing=timer)
+
+    # ── deferred climate ─────────────────────────────────────────────
+    def compute_climate(self, temperature_offset: Optional[float] = None,
+                        precipitation_offset: Optional[float] = None,
+                        on_progress: Optional[Callable] = None) -> Dict:
+        """Climate from retained final elevation, reusing cached wind/ocean
+        when only offsets changed (js/planet-worker.js:579-677)."""
+        if self._w is None:
+            raise RuntimeError("No retained state for compute_climate")
+        w = self._w
+        timer = StageTimer()
+        prog = on_progress or (lambda pct, label: None)
+        params = w["params"]
+        if temperature_offset is not None:
+            params = params.replace(temperature_offset=temperature_offset)
+        if precipitation_offset is not None:
+            params = params.replace(precipitation_offset=precipitation_offset)
+        w["params"] = params
+
+        g = w["g"]
+        elevation = w["elevation_final"]
+        wind = w.get("cached_wind")
+        ocean = w.get("cached_ocean")
+        if wind is None:
+            prog(0, "Simulating wind patterns…")
+            noise_t = tables(w["seed"])
+            with timer.stage("Wind simulation"):
+                wind = compute_wind(g, elevation,
+                                    jnp.asarray(w["plates"].is_ocean),
+                                    w["r_plate"], noise_t)
+            prog(30, "Computing ocean currents…")
+            with timer.stage("Ocean currents"):
+                ocean = compute_ocean_currents(g, elevation, wind)
+            w["cached_wind"] = wind
+            w["cached_ocean"] = ocean
+
+        prog(50, "Computing precipitation…")
+        with timer.stage("Precipitation"):
+            precip = compute_precipitation(
+                g, elevation, wind, ocean,
+                params.precipitation_offset, params.land_coverage)
+        prog(70, "Computing temperature…")
+        with timer.stage("Temperature"):
+            temp = compute_temperature(
+                g, elevation, wind, ocean, precip, params.temperature_offset)
+        prog(88, "Classifying climates…")
+        with timer.stage("Köppen"):
+            koppen = classify_koppen(
+                elevation, temp["r_temperature_summer"],
+                temp["r_temperature_winter"], precip["r_precip_summer"],
+                precip["r_precip_winter"])
+        prog(95, "Done")
+        return dict(wind=wind, ocean=ocean, precip=precip, temp=temp,
+                    koppen=koppen, timing=timer)
+
+    # ── heightmap import ─────────────────────────────────────────────
+    def import_heightmap(self, grayscale: np.ndarray, img_w: int, img_h: int,
+                         params: GenerationParams,
+                         on_progress: Optional[Callable] = None) -> PlanetResult:
+        """Equirect grayscale → mesh sampling → post → synthetic plates →
+        climate (js/planet-worker.js:679-942)."""
+        timer = StageTimer()
+        prog = on_progress or (lambda pct, label: None)
+        seed = params.seed
+        skip_climate = params.skip_climate
+        if skip_climate is None:
+            skip_climate = params.n_cells > AUTO_CLIMATE_THRESHOLD
+
+        prog(0, "Building sphere mesh…")
+        rng = ParkMiller(seed)
+        with timer.stage("Sphere mesh"):
+            graph = build_sphere(params.n_cells, params.jitter, rng=rng)
+            g = to_device(graph)
+
+        prog(20, "Sampling heightmap…")
+        with timer.stage("Sample heightmap", sync=lambda: pre_post):
+            pre_post = _sample_heightmap(
+                g, jnp.asarray(grayscale.astype(np.float32).reshape(img_h, img_w)))
+
+        prog(35, "Processing terrain…")
+        with timer.stage("Terrain post-processing", sync=lambda: elevation):
+            elevation, erosion_delta = run_post_processing(
+                g, pre_post, seed, dataclasses.asdict(params))
+
+        prog(50, "Deriving plates…")
+        with timer.stage("Synthetic plates"):
+            r_plate, plates = _derive_synthetic_plates(g, elevation)
+
+        # seed masks (js/planet-worker.js:812-831)
+        is_ocean = (elevation <= 0) & g.valid
+        ocean_mask = is_ocean
+        mountain_mask = (elevation > 0.5) & g.valid
+        coastline_mask = (elevation > 0) & g.valid & jnp.any(
+            is_ocean[g.nbr_idx] & g.nbr_mask, axis=1)
+
+        debug = dict(erosionDelta=erosion_delta)
+        climate = None
+        if not skip_climate:
+            climate = self._run_climate(
+                g, elevation, jnp.asarray(plates.is_ocean), r_plate, seed,
+                params, timer, prog, debug)
+
+        with timer.stage("Triangle elevations"):
+            t_elev = _triangle_elevations(elevation, jnp.asarray(graph.triangles))
+
+        stress = jnp.zeros(g.n_padded, jnp.float32)
+        self._w = dict(
+            graph=graph, g=g, params=params, seed=seed,
+            r_plate=r_plate, plates=plates, super_sp=None,
+            original_is_ocean=plates.is_ocean.copy(),
+            pre_post=pre_post, elevation_final=elevation,
+            mountain=mountain_mask, coastline=coastline_mask,
+            ocean_seeds=ocean_mask, stress=stress, hotspot=None,
+            cached_wind=(climate or {}).get("wind"),
+            cached_ocean=(climate or {}).get("ocean"),
+        )
+
+        return PlanetResult(
+            graph=graph, params=params, r_plate=r_plate,
+            plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
+            plate_density=plates.density,
+            pre_post_elevation=pre_post, elevation=elevation,
+            t_elevation=t_elev, stress=stress,
+            mountain_mask=mountain_mask, coastline_mask=coastline_mask,
+            ocean_seed_mask=ocean_mask,
+            climate=climate, debug=debug, timing=timer)
+
+
+@jax.jit
+def _sample_heightmap(g: DeviceGraph, image):
+    """Bilinear equirect sampling + inverse height curve
+    (js/planet-worker.js:682-727)."""
+    img_h, img_w = image.shape
+    x, y, z = g.pos[:, 0], g.pos[:, 1], g.pos[:, 2]
+    lat = jnp.arcsin(jnp.clip(y, -1.0, 1.0))
+    lon = jnp.arctan2(x, z)
+    px = (lon / jnp.pi + 1) * 0.5 * img_w
+    py = jnp.clip((0.5 - lat / jnp.pi) * img_h, 0, img_h - 1)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x1 = (x0 + 1) % img_w
+    y1 = jnp.minimum(y0 + 1, img_h - 1)
+    x0m = jnp.mod(jnp.mod(x0, img_w) + img_w, img_w)
+    fx = px - jnp.floor(px)
+    fy = py - jnp.floor(py)
+    v00 = image[y0, x0m]
+    v10 = image[y0, x1]
+    v01 = image[y1, x0m]
+    v11 = image[y1, x1]
+    gray = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+            + v01 * (1 - fx) * fy + v11 * fx * fy)
+    elev = jnp.where(gray < 1, -0.5, jnp.sqrt(jnp.maximum(0.0, gray - 1) / 254.0))
+    return jnp.where(g.valid, elev, 0.0).astype(jnp.float32)
+
+
+def _derive_synthetic_plates(g: DeviceGraph, elevation):
+    """Connected land/ocean components as zero-velocity plates
+    (js/planet-worker.js:733-769)."""
+    from ..tectonics.plates import PlateSet
+
+    is_ocean = (elevation <= 0) & g.valid
+    same = (is_ocean[g.nbr_idx] == is_ocean[:, None])
+    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    labels_np = np.asarray(labels)[: g.n_cells]
+    uniq, r_plate_np = np.unique(labels_np, return_inverse=True)
+    p = len(uniq)
+    r_plate_full = np.zeros(g.n_padded, np.int32)
+    r_plate_full[: g.n_cells] = r_plate_np
+    is_ocean_np = np.asarray(is_ocean)[: g.n_cells]
+    plate_ocean = np.zeros(p, bool)
+    plate_ocean[r_plate_np] = is_ocean_np  # component type is uniform
+
+    plates = PlateSet(
+        seeds=uniq.astype(np.int32),
+        pole=np.tile([[0.0, 1.0, 0.0]], (p, 1)),
+        omega=np.zeros(p),
+        is_ocean=plate_ocean,
+        density=np.full(p, 2.7),
+        density_land=np.full(p, 2.7),
+        density_ocean=np.full(p, 3.2),
+    )
+    return jnp.asarray(r_plate_full), plates

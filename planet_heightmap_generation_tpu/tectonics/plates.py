@@ -34,10 +34,19 @@ from ..ops.rng import ParkMiller
 
 
 class BufferedStream:
-    """Park-Miller stream with block-buffered vectorized draws."""
+    """Park-Miller stream with block-buffered vectorized draws.
+
+    Tracks the LOGICAL position (draws actually consumed) so the state can
+    be handed to / resumed from the native fill kernel, which advances the
+    raw recurrence itself."""
+
+    _M = 2147483647
+    _A = 16807
 
     def __init__(self, seed: float, block: int = 16384):
         self._rng = ParkMiller(seed)
+        self._s0 = self._rng.s
+        self._consumed = 0
         self._block = block
         self._buf = np.empty(0)
         self._i = 0
@@ -48,6 +57,7 @@ class BufferedStream:
             self._i = 0
         v = self._buf[self._i]
         self._i += 1
+        self._consumed += 1
         return v
 
     def take(self, k: int) -> np.ndarray:
@@ -58,10 +68,23 @@ class BufferedStream:
             self._i = 0
             out = np.concatenate([rest, self._buf[:need]])
             self._i = need
-            return out
-        out = self._buf[self._i:self._i + k]
-        self._i += k
+        else:
+            out = self._buf[self._i:self._i + k]
+            self._i += k
+        self._consumed += k
         return out
+
+    def logical_state(self) -> int:
+        """Park-Miller state at the consumed position (ignores buffering)."""
+        return (self._s0 * pow(self._A, self._consumed, self._M)) % self._M
+
+    def set_logical_state(self, s: int) -> None:
+        """Resume the stream from an externally-advanced state."""
+        self._rng.s = int(s)
+        self._s0 = int(s)
+        self._consumed = 0
+        self._buf = np.empty(0)
+        self._i = 0
 
 
 @dataclasses.dataclass
@@ -144,9 +167,75 @@ def generate_plates(graph: SphereGraph, num_plates: int, seed: int):
     r_plate = np.full(n, -1, dtype=np.int32)
     r_plate[seeds_arr] = np.arange(p, dtype=np.int32)
 
+    compact_weight = 0.3 - 0.22 * low_t
+    expected_area = max(1.0, (n - p) / num_plates)
+    governor_mult = 2.0 + 2.0 * low_t
+
+    from ..native import get_coarse_fill
+    native_fill = get_coarse_fill()
+    if native_fill is not None:
+        import ctypes
+        rng_state = ctypes.c_int64(rng.logical_state())
+        randint_state = ctypes.c_int64(randint.logical_state())
+        native_fill(
+            n, p, graph.nbr_idx.shape[1], num_plates,
+            np.ascontiguousarray(graph.nbr_idx[:n]),
+            np.ascontiguousarray(graph.nbr_mask[:n].astype(np.uint8)),
+            np.ascontiguousarray(pos),
+            seeds_arr,
+            np.ascontiguousarray(growth_rate),
+            np.ascontiguousarray(growth_dir),
+            np.ascontiguousarray(dir_strength),
+            expected_area, governor_mult, compact_weight,
+            ctypes.byref(rng_state), ctypes.byref(randint_state),
+            r_plate,
+        )
+        rng.set_logical_state(rng_state.value)
+        randint.set_logical_state(randint_state.value)
+    else:
+        _python_fill(graph, pos, r_plate, seeds_arr,
+                     growth_rate, growth_dir, dir_strength,
+                     expected_area, governor_mult, compact_weight,
+                     rng, randint)
+
+    num_passes = round(3 - 2 * low_t)
+    protect = np.zeros(n, dtype=bool)
+    protect[seeds_arr] = True
+    smooth_and_reconnect_host(graph, r_plate, protect, num_passes)
+
+    # --- Euler poles (js/plates.js:219-229) ---
+    pole = np.empty((p, 3))
+    omega = np.empty(p)
+    for i in range(p):
+        theta = rng.next() * 2 * math.pi
+        cos_p = 2 * rng.next() - 1
+        sin_p = math.sqrt(max(0.0, 1 - cos_p * cos_p))
+        pole[i] = [sin_p * math.cos(theta), sin_p * math.sin(theta), cos_p]
+        omega[i] = (0.5 + rng.next() * 1.5) * (-1.0 if rng.next() < 0.5 else 1.0)
+
+    plates = PlateSet(
+        seeds=seeds_arr,
+        pole=pole,
+        omega=omega,
+        is_ocean=np.zeros(p, dtype=bool),
+        density=np.full(p, 2.7),
+        density_land=np.full(p, 2.7),
+        density_ocean=np.full(p, 3.2),
+    )
+    return r_plate, plates
+
+
+def _python_fill(graph, pos, r_plate, seeds_arr,
+                 growth_rate, growth_dir, dir_strength,
+                 expected_area, governor_mult, compact_weight,
+                 rng, randint):
+    """Pure-Python fallback for the round-robin fill (same algorithm and
+    per-stream RNG consumption as native/coarse_fill.cpp)."""
+    n = graph.n_cells
+    p = len(seeds_arr)
     frontier = np.empty((p, n), dtype=np.int32)
     f_len = np.zeros(p, dtype=np.int64)
-    for i, s in enumerate(seeds):
+    for i, s in enumerate(seeds_arr):
         frontier[i, 0] = s
         f_len[i] = 1
     area = np.ones(p, dtype=np.int64)
@@ -155,9 +244,6 @@ def generate_plates(graph: SphereGraph, num_plates: int, seed: int):
     nbr_mask = graph.nbr_mask[:n]
 
     remaining = n - p
-    compact_weight = 0.3 - 0.22 * low_t
-    expected_area = max(1.0, (n - p) / num_plates)
-    governor_mult = 2.0 + 2.0 * low_t
     inv_n = 1.0 / n
     seed_pos = pos[seeds_arr]
 
@@ -200,9 +286,8 @@ def generate_plates(graph: SphereGraph, num_plates: int, seed: int):
                 frontier[pid, bidx] = frontier[pid, f_len[pid]]
 
                 nbs = nbr_idx[cell][nbr_mask[cell]]
-                free = nbs[r_plate[nbs] == -1]
+                free = nbs[r_plate[nbs] == -1]  # adjacency order, already unique
                 if len(free):
-                    free = np.unique(free)
                     r_plate[free] = pid
                     nf = len(free)
                     frontier[pid, f_len[pid]:f_len[pid] + nf] = free
@@ -227,32 +312,6 @@ def generate_plates(graph: SphereGraph, num_plates: int, seed: int):
         adopted = np_plates[np.arange(len(orphans)), first_slot]
         sel = orphans[pickable]
         r_plate[sel] = adopted[pickable]
-
-    num_passes = round(3 - 2 * low_t)
-    protect = np.zeros(n, dtype=bool)
-    protect[seeds_arr] = True
-    smooth_and_reconnect_host(graph, r_plate, protect, num_passes)
-
-    # --- Euler poles (js/plates.js:219-229) ---
-    pole = np.empty((p, 3))
-    omega = np.empty(p)
-    for i in range(p):
-        theta = rng.next() * 2 * math.pi
-        cos_p = 2 * rng.next() - 1
-        sin_p = math.sqrt(max(0.0, 1 - cos_p * cos_p))
-        pole[i] = [sin_p * math.cos(theta), sin_p * math.sin(theta), cos_p]
-        omega[i] = (0.5 + rng.next() * 1.5) * (-1.0 if rng.next() < 0.5 else 1.0)
-
-    plates = PlateSet(
-        seeds=seeds_arr,
-        pole=pole,
-        omega=omega,
-        is_ocean=np.zeros(p, dtype=bool),
-        density=np.full(p, 2.7),
-        density_land=np.full(p, 2.7),
-        density_ocean=np.full(p, 3.2),
-    )
-    return r_plate, plates
 
 
 def smooth_and_reconnect_host(graph: SphereGraph, r_plate: np.ndarray,

@@ -1,17 +1,35 @@
-"""Test configuration: force CPU backend with 8 virtual devices so sharded
-code paths are testable without a TPU pod (SURVEY.md §4d)."""
+"""Test configuration.
+
+Tests run on the default backend (the real TPU when present — it IS the
+target hardware). Multi-device sharding tests use a virtual 8-device CPU
+mesh (SURVEY.md §4d): ``xla_force_host_platform_device_count=8`` makes
+``jax.devices("cpu")`` return 8 devices alongside any accelerator, so
+sharded label-propagation is testable without a TPU pod.
+
+Set PLANET_TEST_PLATFORM=cpu to force everything onto CPU.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+if os.environ.get("PLANET_TEST_PLATFORM"):
+    # sitecustomize may have imported jax already; update the live config
+    jax.config.update("jax_platforms", os.environ["PLANET_TEST_PLATFORM"])
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def cpu_devices():
+    """The virtual CPU mesh devices (always ≥8 thanks to XLA_FLAGS)."""
+    return jax.devices("cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,43 @@
+"""Native coarse-fill parity: the C++ kernel must produce bit-identical
+plates and RNG stream positions to the pure-Python fallback."""
+
+import numpy as np
+import pytest
+
+import planet_heightmap_generation_tpu.native as native_mod
+from planet_heightmap_generation_tpu.mesh import build_sphere
+from planet_heightmap_generation_tpu.tectonics.plates import generate_plates
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    return build_sphere(3000, 0.75, seed=137.0)
+
+
+def _force_python():
+    saved = (native_mod._LIB, native_mod._TRIED)
+    native_mod._LIB, native_mod._TRIED = None, True
+    return saved
+
+
+def _restore(saved):
+    native_mod._LIB, native_mod._TRIED = saved
+
+
+def test_native_available():
+    assert native_mod.get_coarse_fill() is not None, \
+        "native coarse_fill failed to build"
+
+
+def test_native_matches_python(small_graph):
+    rp_native, plates_n = generate_plates(small_graph, 24, 7)
+    saved = _force_python()
+    try:
+        rp_py, plates_p = generate_plates(small_graph, 24, 7)
+    finally:
+        _restore(saved)
+    np.testing.assert_array_equal(rp_native, rp_py)
+    # RNG stream resumed at the identical position → identical Euler poles
+    np.testing.assert_array_equal(plates_n.pole, plates_p.pole)
+    np.testing.assert_array_equal(plates_n.omega, plates_p.omega)
+    np.testing.assert_array_equal(plates_n.seeds, plates_p.seeds)

@@ -1,0 +1,57 @@
+"""Multi-device tests: sharded terrain step over a virtual 8-CPU mesh,
+entrypoint compile checks (SURVEY.md §4d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip():
+    """Multi-chip sharding dry run over the virtual 8-device CPU mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_matches_single_device():
+    """The sharded batched step must produce the same values as the
+    unsharded computation (virtual CPU mesh vs plain CPU eval)."""
+    from planet_heightmap_generation_tpu.parallel.sharding import (
+        make_planet_mesh, batched_terrain_step, terrain_step)
+    from planet_heightmap_generation_tpu.ops.noise import make_perm_tables
+    import __graft_entry__ as ge
+
+    cpu = jax.devices("cpu")
+    assert len(cpu) >= 8
+
+    g, gd, elev, sn = ge._tiny_graph(n=1500)
+    elev_b = jnp.stack([elev, elev * 0.5])
+    perm, pm12 = make_perm_tables(1.0)
+    perm_b = jnp.asarray(np.stack([perm, perm]))
+    pm12_b = jnp.asarray(np.stack([pm12, pm12]))
+
+    # uncommitted numpy args: the sharded jit places them per in_shardings
+    args = tuple(np.asarray(a) for a in (
+        elev_b, gd.pos, gd.nbr_idx, gd.nbr_mask, gd.nbr_dist,
+        gd.valid, perm_b, pm12_b))
+
+    mesh = make_planet_mesh(8, seed_parallel=2, devices=cpu)
+    step = batched_terrain_step(mesh)
+    with mesh:
+        out = step(*args)
+
+    cpu0 = cpu[0]
+    ref_args = tuple(jax.device_put(a, cpu0) for a in (
+        args[0][0], *args[1:6], args[6][0], args[7][0]))
+    ref0 = jax.jit(terrain_step)(*ref_args)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref0),
+                               rtol=1e-5, atol=1e-5)
