@@ -15,6 +15,33 @@ erosion recurrences.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache. The pipeline is ~40 distinct jitted
+    kernels and TPU compiles run 10-60 s each; caching them on disk makes
+    every process after the first start hot (the reference's analog is the
+    browser's shader/code cache). Opt out with PLANET_JAX_CACHE=0."""
+    cache = _os.environ.get("PLANET_JAX_CACHE", "")
+    if cache == "0":
+        return
+    if not cache:
+        cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import GenerationParams, detail_from_slider, slider_from_detail
 
 __all__ = [

@@ -1,12 +1,16 @@
 """Test configuration.
 
-Tests run on the default backend (the real TPU when present — it IS the
-target hardware). Multi-device sharding tests use a virtual 8-device CPU
-mesh (SURVEY.md §4d): ``xla_force_host_platform_device_count=8`` makes
-``jax.devices("cpu")`` return 8 devices alongside any accelerator, so
-sharded label-propagation is testable without a TPU pod.
+Tests default to the CPU backend: unit tests run at tiny cell counts whose
+kernel shapes differ from production runs, so compiling them on the real
+TPU buys no coverage and costs minutes per kernel (plus the tunnel's
+~3-minute first-fetch latency per process). The TPU path itself is
+exercised by bench.py and __graft_entry__.py on production shapes.
 
-Set PLANET_TEST_PLATFORM=cpu to force everything onto CPU.
+Multi-device sharding tests use a virtual 8-device CPU mesh (SURVEY.md
+§4d): ``xla_force_host_platform_device_count=8`` makes ``jax.devices("cpu")``
+return 8 devices, so sharded label-propagation is testable without a TPU pod.
+
+Set PLANET_TEST_PLATFORM=tpu (or any backend name) to override.
 """
 
 import os
@@ -19,9 +23,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-if os.environ.get("PLANET_TEST_PLATFORM"):
-    # sitecustomize may have imported jax already; update the live config
-    jax.config.update("jax_platforms", os.environ["PLANET_TEST_PLATFORM"])
+# sitecustomize may have imported jax already; update the live config
+jax.config.update(
+    "jax_platforms", os.environ.get("PLANET_TEST_PLATFORM", "cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
