@@ -65,35 +65,40 @@ def replicate(mesh: Mesh, *arrays):
 
 
 def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
-    """One fused 'terrain step' — the framework's forward-step analog:
-    noise uplift + bilateral smoothing + thermal transport over the sphere
-    graph. Pure function of arrays; jit/vmap/shard-friendly. Used by the
-    compile-check entrypoints and the multi-chip dry run."""
+    """One full terrain step — the framework's 'training step' analog: fbm
+    tectonic forcing, then one composite erosion iteration with the REAL
+    production kernels (steepest-receiver routing, pointer-doubled flow
+    accumulation, the exact Braun-Willett affine solve, talus-slope thermal
+    transport, bilateral smoothing), closed by a global mean reduction that
+    rides collectives when sharded. Pure function of arrays;
+    jit/vmap/shard-friendly. Used by the compile-check entrypoints and the
+    multi-chip dry run. Mirrors one iteration of erodeComposite
+    (reference js/terrain-post.js:369-707)."""
+    from ..erosion.fluvial import (steepest_receivers, flow_accumulation,
+                                   stream_power_solve)
+    from ..erosion.thermal import thermal_step
+    from ..erosion.smooth import smooth_elevation
+
     t = Tables(perm, pm12)
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     uplift = fbm(t, x * 4, y * 4, z * 4, 4) * 0.05
     e = elev + jnp.where(valid, uplift, 0.0)
+    is_ocean = (e <= 0) & valid
 
-    # bilateral smooth (one pass)
-    nh = e[nbr_idx]
-    w = jnp.where(nbr_mask, 1.0 / (1.0 + jnp.abs(nh - e[:, None]) * 8.0), 0.0)
-    wsum = jnp.sum(w, axis=1)
-    avg = jnp.sum(nh * w, axis=1) / jnp.maximum(wsum, 1e-20)
-    e = jnp.where(valid & (wsum > 0), e + (avg - e) * 0.3, e)
+    # hydraulic: route → accumulate → implicit stream-power solve
+    rcv, dist, is_pit = steepest_receivers(
+        e, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid)
+    land = (~is_ocean) & valid
+    flow = flow_accumulation(land, rcv, is_pit, rounds=12)
+    e = stream_power_solve(
+        e, is_ocean, valid, rcv, dist, is_pit, flow,
+        jnp.float32(3e-4), jnp.float32(0.5), jnp.float32(1.0), rounds=12)
 
-    # thermal transport (one pass, gather-only)
-    d = jnp.maximum(nbr_dist, 1e-6)
-    slope = (e[:, None] - e[nbr_idx]) / d
-    excess_out = jnp.where(nbr_mask & (slope > 0.8), (slope - 0.8) * d, 0.0)
-    total = jnp.sum(excess_out, axis=1)
-    shed = 0.15 * total * 0.5
-    excess_in = jnp.where(nbr_mask & (-slope > 0.8), (-slope - 0.8) * d, 0.0)
-    nb_total = total[nbr_idx]
-    nb_shed = shed[nbr_idx]
-    recv = jnp.sum(jnp.where(nb_total > 0,
-                             excess_in / jnp.maximum(nb_total, 1e-20) * nb_shed,
-                             0.0), axis=1)
-    e = e + jnp.where(valid, recv - shed, 0.0)
+    # thermal talus transport + ridge-preserving bilateral smooth
+    e = thermal_step(e, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid,
+                     jnp.float32(0.8), jnp.float32(0.15))
+    e = smooth_elevation(e, is_ocean, nbr_idx, nbr_mask, valid, 1,
+                         jnp.float32(0.3))
 
     # a global reduction so the sharded step exercises collectives
     mean_land = jnp.sum(jnp.where(valid, e, 0.0)) / jnp.maximum(

@@ -22,6 +22,26 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_generate_batch_seed_sweep():
+    """Seed sweep: distinct seeds → distinct planets; same seed → identical
+    (determinism as the oracle, SURVEY.md §4)."""
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.parallel import generate_batch
+
+    params = GenerationParams(seed=0, n_cells=2000, n_plates=8,
+                              num_continents=2, skip_climate=True)
+    cpu = jax.devices("cpu")
+    results = generate_batch(params, [3, 9, 3], devices=cpu[:4])
+    assert len(results) == 3
+    e0 = np.asarray(results[0].elevation)
+    e1 = np.asarray(results[1].elevation)
+    e2 = np.asarray(results[2].elevation)
+    assert np.isfinite(e0).all() and np.isfinite(e1).all()
+    assert not np.allclose(e0, e1)       # different seeds differ
+    np.testing.assert_array_equal(e0, e2)  # same seed reproduces exactly
+    assert results[0].params.seed == 3 and results[1].params.seed == 9
+
+
 def test_sharded_matches_single_device():
     """The sharded batched step must produce the same values as the
     unsharded computation (virtual CPU mesh vs plain CPU eval)."""
