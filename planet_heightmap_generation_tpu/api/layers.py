@@ -107,9 +107,10 @@ def temperature_color(t01):
 
 
 @jax.jit
-def pressure_color(p_hpa):
-    """Diverging around 1013 hPa (low = purple, high = orange)."""
-    t = jnp.clip((p_hpa - 1013.0) / 25.0, -1.0, 1.0)
+def pressure_color(p_anom_hpa):
+    """Diverging pressure-anomaly map (low = purple, high = orange); the
+    wind stage stores pressure − 1013 hPa."""
+    t = jnp.clip(p_anom_hpa / 25.0, -1.0, 1.0)
     low = jnp.asarray([0.45, 0.20, 0.65])
     mid = jnp.asarray([0.93, 0.93, 0.93])
     high = jnp.asarray([0.90, 0.55, 0.15])

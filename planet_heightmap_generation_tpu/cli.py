@@ -111,6 +111,18 @@ def main(argv=None):
     c = sub.add_parser("code", help="print the planet code for parameters")
     add_gen_args(c)
 
+    s = sub.add_parser("sweep", help="multi-seed batch sweep (config-5 shape)")
+    add_gen_args(s)
+    s.add_argument("--seeds", default="0-15",
+                   help="seed range 'a-b' (inclusive) or comma list")
+    s.add_argument("--export-width", type=int, default=0,
+                   help="also export a heightmap PNG per seed at this width")
+
+    ins = sub.add_parser("inspect", help="hover-card info at lat/lon")
+    add_gen_args(ins)
+    ins.add_argument("--lat", type=float, required=True)
+    ins.add_argument("--lon", type=float, required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "code":
@@ -133,6 +145,39 @@ def main(argv=None):
         print(result.timing.table())
         print("diagnostics:", result.diagnostics())
         _save_result(result, args.out)
+        return
+
+    if args.cmd == "sweep":
+        import json
+        from .parallel.batch import generate_batch
+        from .api.export import export_map, save_png
+        from .mesh.device import to_device
+
+        if "-" in args.seeds and "," not in args.seeds:
+            a, b = args.seeds.split("-")
+            seeds = list(range(int(a), int(b) + 1))
+        else:
+            seeds = [int(x) for x in args.seeds.split(",")]
+        params = _params_from_args(args)
+        for i, r in enumerate(generate_batch(params, seeds)):
+            d = r.diagnostics()
+            print(json.dumps(dict(seed=seeds[i], **d)))
+            if args.export_width:
+                img = export_map(to_device(r.graph), r.elevation, "heightmap",
+                                 height=args.export_width // 2,
+                                 width=args.export_width)
+                save_png(img, f"heightmap_seed{seeds[i]}.png")
+        return
+
+    if args.cmd == "inspect":
+        import json
+        from .pipeline import PlanetEngine
+        from .api.picking import nearest_region, cell_info
+
+        params = _params_from_args(args)
+        result = PlanetEngine().generate(params)
+        cell = nearest_region(result, args.lat, args.lon)
+        print(json.dumps(cell_info(result, cell), indent=2))
         return
 
     if args.cmd == "import-heightmap":

@@ -29,6 +29,10 @@ DOME_STRENGTH = 0.60
 SWELL_SIGMA_MULT = 2
 SWELL_STR_MULT = 0.10
 MAX_RIFTS = 3
+# Fixed dome-array length: 5 hotspots × (1 + max chain 11) = 60 ≤ 64.
+# Padding with inert zero-strength domes keeps hotspot_uplift's jit shape
+# stable across seeds (variable D would recompile the kernel per planet).
+MAX_DOMES = 64
 
 
 def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
@@ -119,8 +123,20 @@ def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
     if not domes:
         return {}
 
+    # pad with inert domes: strength 0, cos thresholds 2.0 (dot ≤ 1 < 2 so
+    # `near` is always False), zero rifts — shape-stable across seeds.
+    for _ in range(MAX_DOMES - len(domes)):
+        domes.append(dict(
+            pos=np.array([0.0, 0.0, 1.0]), strength=0.0, base_strength=0.0,
+            sigma=1.0, chain_index=0, chain_length=1,
+            u=np.array([1.0, 0.0, 0.0]), v=np.array([0.0, 1.0, 0.0]),
+            rift=np.zeros(MAX_RIFTS), n_rift=0, inert=True,
+        ))
+
     def stack(key):
         return np.asarray([d[key] for d in domes])
+
+    inert = np.asarray([bool(d.get("inert")) for d in domes])
 
     sigma = stack("sigma")
     strength = stack("strength")
@@ -133,10 +149,10 @@ def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
         u=stack("u").astype(np.float32),
         v=stack("v").astype(np.float32),
         strength=strength.astype(np.float32),
-        cos_peak=np.cos(sigma * 5.5).astype(np.float32),
+        cos_peak=np.where(inert, 2.0, np.cos(sigma * 5.5)).astype(np.float32),
         inv_s2=(-0.5 / (sigma * sigma)).astype(np.float32),
         swell_strength=(base_strength * SWELL_STR_MULT).astype(np.float32),
-        cos_swell=np.cos(sw_sigma * 3).astype(np.float32),
+        cos_swell=np.where(inert, 2.0, np.cos(sw_sigma * 3)).astype(np.float32),
         inv_s2_swell=(-0.5 / (sw_sigma * sw_sigma)).astype(np.float32),
         caldera_depth=np.where(
             (ci <= 1) & (strength > 0.15), strength * 0.20, 0.0

@@ -29,6 +29,15 @@ from ..ops.rng import ParkMiller
 
 _PAD_MULTIPLE = 1024
 
+# Fixed neighbor-array width. Fibonacci-Delaunay degree is ~6 (5/7
+# outliers); only the stitched pole vertex and rare jitter artifacts exceed
+# it. A FIXED width keeps every [N,K] kernel's jit signature identical
+# across seeds and resolutions — the raw max degree is data-dependent and
+# would recompile the whole pipeline per planet. Vertices with more
+# neighbors keep their K_FIXED nearest (a sub-degree-truncation only ever
+# observed at the pole, where the hull fan is mutually adjacent anyway).
+K_FIXED = 12
+
 
 def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndarray:
     """N points on the unit sphere via golden-angle spiral with jitter.
@@ -167,7 +176,22 @@ def build_sphere(
 
     src, dst = _ordered_adjacency(n_total, triangles, pos_all)
     deg = np.bincount(src, minlength=n_total).astype(np.int32)
-    k_max = int(deg.max())
+    k_max = K_FIXED
+
+    # truncate over-degree vertices (pole fan / rare jitter artifacts) to
+    # their K_FIXED nearest neighbors so shapes stay seed-independent
+    if int(deg.max()) > k_max:
+        edge_d = np.linalg.norm(pos_all[src] - pos_all[dst], axis=1)
+        over = np.flatnonzero(deg > k_max)
+        keep = np.ones(len(src), dtype=bool)
+        offsets0 = np.zeros(n_total + 1, dtype=np.int64)
+        np.cumsum(deg, out=offsets0[1:])
+        for v in over:
+            lo, hi = offsets0[v], offsets0[v + 1]
+            order = np.argsort(edge_d[lo:hi], kind="stable")
+            keep[lo + order[k_max:]] = False
+        src, dst = src[keep], dst[keep]
+        deg = np.bincount(src, minlength=n_total).astype(np.int32)
 
     n_padded = -(-n_total // pad_multiple) * pad_multiple
 

@@ -70,7 +70,11 @@ def build_geobins(points: np.ndarray, n_lat: int = 90, n_lon: int = 180,
     radius = 2 * np.sin(np.minimum(np.pi / 2, half_diag_ang / 2)) + 2 * h_max + extra_margin
 
     lists = tree.query_ball_point(c_xyz, radius)
+    # round the candidate width up to a lane-friendly multiple so the device
+    # query kernel keeps one jit shape across meshes/seeds (raw k_c is
+    # data-dependent and would recompile the projection per planet)
     k_c = max(1, max(len(l) for l in lists))
+    k_c = -(-k_c // 16) * 16
     n_bins = n_lat * n_lon
     cand_idx = np.zeros((n_bins, k_c), dtype=np.int32)
     cand_mask = np.zeros((n_bins, k_c), dtype=bool)

@@ -122,7 +122,20 @@ class PlanetEngine:
     # ── generate ─────────────────────────────────────────────────────
     def generate(self, params: GenerationParams,
                  on_progress: Optional[Callable] = None) -> PlanetResult:
-        """Full pipeline (js/planet-worker.js:136-339)."""
+        """Full pipeline (js/planet-worker.js:136-339).
+
+        Set PLANET_PROFILE=<dir> to wrap the run in a jax.profiler trace —
+        the TPU equivalent of the reference's per-stage console.table
+        instrumentation (SURVEY.md §5), viewable in TensorBoard/Perfetto."""
+        import os
+        prof_dir = os.environ.get("PLANET_PROFILE")
+        if prof_dir:
+            with jax.profiler.trace(prof_dir):
+                return self._generate(params, on_progress)
+        return self._generate(params, on_progress)
+
+    def _generate(self, params: GenerationParams,
+                  on_progress: Optional[Callable] = None) -> PlanetResult:
         timer = StageTimer()
         prog = on_progress or (lambda pct, label: None)
         seed = params.seed

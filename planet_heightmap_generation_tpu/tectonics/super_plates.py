@@ -19,6 +19,11 @@ from .plates import PlateSet
 from .ocean_land import plate_geometry
 
 
+# Fixed padded length for the [S] arrays (worst case: every plate its own
+# component, P ≤ 121). Keeps jit shapes seed-stable.
+S_MAX = 128
+
+
 @dataclasses.dataclass
 class SuperPlates:
     plate_to_super: np.ndarray    # [P] i32
@@ -162,6 +167,17 @@ def build_super_plates(graph: SphereGraph, r_plate: np.ndarray,
         dens_sum[sp] += area[pid] * plates.density[pid]
     sp_ocean = ocean_area > area_sum * 0.5
     sp_density = np.where(area_sum > 0, dens_sum / np.maximum(area_sum, 1e-9), 2.7)
+
+    # Pad the [S] arrays to a fixed S_MAX so downstream jit kernels
+    # (find_collisions on the super layer) keep one shape across seeds and
+    # plate edits — variable S would recompile per planet. Padded entries
+    # are never referenced: plate_to_super only maps to real ids.
+    pad = S_MAX - num_super
+    if pad > 0:
+        sp_pole = np.concatenate([sp_pole, np.tile([[0.0, 1.0, 0.0]], (pad, 1))])
+        sp_omega = np.concatenate([sp_omega, np.zeros(pad)])
+        sp_ocean = np.concatenate([sp_ocean, np.ones(pad, bool)])
+        sp_density = np.concatenate([sp_density, np.full(pad, 3.0)])
 
     return SuperPlates(
         plate_to_super=plate_to_super,
