@@ -1,41 +1,63 @@
 """Benchmark harness — full planet generation wall-clock on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits ONE JSON line per completed config, cheapest config first, flushed
+immediately — so a driver timeout still leaves the best number that fit in
+the budget on stdout (the last line is the headline). Schema per line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Default config: the reference's default planet (204K cells, 80 plates,
-4 continents, full erosion + climate). The reference publishes no numbers;
-its own V1 review observed the browser "locks for multiple seconds" at 200K+
-cells (reference V1_REVIEW.md:26) — we take 5 s as a conservative baseline
-for the default config, so vs_baseline = 5 / wall_s (higher is better).
+Baseline: the reference publishes no numbers; its own V1 review observed the
+browser "locks for multiple seconds" at 200K+ cells (reference
+V1_REVIEW.md:26). We take 5 s at the 204K default and scale linearly with
+cell count, so vs_baseline = 5*(N/204000) / wall (higher is better). The
+16-seed sweep baseline is 16 sequential reference runs at ~30 s each @4M.
 
-BASELINE.json config selection via BENCH_CONFIG=1..5:
+Configs (BASELINE.json ladder), run in this order until the budget is spent:
   1: 40K cells, plates + ocean/land + base elevation, erosion off
+  d: 204K default planet, full erosion + climate (the reference default)
   2: 160K + full erosion stack (no climate)
-  3: 640K + glacial/coastal/hotspots (no climate)
+  3: 640K + glacial (no climate)
   4: 1M + full climate
-  5: 4M × 16-seed batched sweep + 8K equirect heightmap export
-Other env overrides: BENCH_N (cells), BENCH_SEED, BENCH_SKIP_CLIMATE=1.
+  5: 4M x 16-seed batched sweep + 8K equirect heightmap export
+
+Env knobs: BENCH_CONFIG=1|2|3|4|5|d (run just one config),
+BENCH_BUDGET_S (default 540), BENCH_SEED, BENCH_N (override default-config N).
 """
 
 import json
 import os
+import sys
 import time
 
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
 
-def _params_for_config(cfg: int, seed: int):
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}), flush=True)
+
+
+def _params_for(cfg, seed):
     from planet_heightmap_generation_tpu.config import GenerationParams
 
-    if cfg == 1:
+    if cfg == "1":
         return GenerationParams(seed=seed, n_cells=40_000, skip_climate=True,
                                 smoothing=0.0, glacial_erosion=0.0,
                                 hydraulic_erosion=0.0, thermal_erosion=0.0,
                                 ridge_sharpening=0.0, terrain_warp=0.0)
-    if cfg == 2:
+    if cfg == "d":
+        n = int(os.environ.get("BENCH_N", 204_000))
+        return GenerationParams(seed=seed, n_cells=n, skip_climate=False)
+    if cfg == "2":
         return GenerationParams(seed=seed, n_cells=160_000, skip_climate=True)
-    if cfg == 3:
+    if cfg == "3":
         return GenerationParams(seed=seed, n_cells=640_000, skip_climate=True,
                                 glacial_erosion=0.5)
-    if cfg == 4:
+    if cfg == "4":
         return GenerationParams(seed=seed, n_cells=1_000_000,
                                 skip_climate=False)
     raise ValueError(cfg)
@@ -49,80 +71,104 @@ def _run_once(engine, params):
     jax.block_until_ready(r.elevation)
     if r.climate is not None:
         jax.block_until_ready(r.climate["koppen"])
-    # force a real device→host sync (block_until_ready alone can be a
-    # no-op on the tunneled axon backend)
-    d = r.diagnostics()
-    return time.perf_counter() - t0, r, d
+    d = r.diagnostics()  # device->host sync (host read of final arrays)
+    assert d["nan_count"] == 0, f"NaNs in elevation: {d}"
+    return time.perf_counter() - t0, r
+
+
+def _vs_baseline(n_cells, wall):
+    return round(5.0 * (n_cells / 204_000) / wall, 2)
+
+
+def _bench_config(engine, cfg, seed):
+    """Cold run -> emit *_cold line; warm run -> emit headline line.
+    Returns the warm wall time (or cold if no budget for warm)."""
+    params = _params_for(cfg, seed)
+    n = params.n_cells
+    tag = "default" if cfg == "d" else f"config{cfg}"
+    cold, r = _run_once(engine, params)
+    _emit(f"{tag}_wall_s_{n // 1000}k_cold", round(cold, 3), "s",
+          _vs_baseline(n, cold))
+    # warm run: same shapes, different seed -> jit cache hot
+    if _remaining() < cold * 0.7 + 10:
+        return cold
+    wall, r = _run_once(engine, params.replace(seed=seed + 1))
+    for name, ms in r.timing.stages:
+        if "post-processing" in name.lower() and not params_erosion_off(params):
+            _emit(f"{tag}_erosion_cells_per_s", round(n / (ms / 1000.0)),
+                  "cells/s", round((n / (ms / 1000.0)) / 1_000_000, 2))
+    _emit(f"{tag}_wall_s_{n // 1000}k", round(wall, 3), "s",
+          _vs_baseline(n, wall))
+    return wall
+
+
+def params_erosion_off(params):
+    return (params.hydraulic_erosion == 0 and params.thermal_erosion == 0
+            and params.glacial_erosion == 0)
+
+
+def _bench_sweep(engine, seed):
+    """Config 5: 16-seed sweep at 4M cells + one 8K heightmap export."""
+    import numpy as np
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.parallel.batch import generate_batch
+    from planet_heightmap_generation_tpu.api.export import export_map
+    from planet_heightmap_generation_tpu.mesh.device import to_device
+
+    params = GenerationParams(seed=seed, n_cells=4_000_000, skip_climate=True)
+    _run_once(engine, params)  # warmup/compile at the 4M shapes
+    if _remaining() < 60:
+        return
+    t0 = time.perf_counter()
+    results = generate_batch(params, list(range(seed, seed + 16)),
+                             engine=engine)
+    img = export_map(to_device(results[-1].graph), results[-1].elevation,
+                     "heightmap", height=4096, width=8192)
+    assert np.isfinite(img).all()
+    wall = time.perf_counter() - t0
+    _emit("sweep16_4m_cells_per_s", round(16 * 4_000_000 / wall), "cells/s",
+          round((16 * 30.0) / wall, 2))
 
 
 def main():
-    cfg = int(os.environ.get("BENCH_CONFIG", "0"))
+    only = os.environ.get("BENCH_CONFIG", "").strip()
     seed = int(os.environ.get("BENCH_SEED", 42))
 
-    from planet_heightmap_generation_tpu.config import GenerationParams
     from planet_heightmap_generation_tpu.pipeline import PlanetEngine
 
     engine = PlanetEngine()
 
-    if cfg == 5:
-        # 16-seed sweep at 4M cells with one 8K heightmap export
-        from planet_heightmap_generation_tpu.parallel.batch import generate_batch
-        from planet_heightmap_generation_tpu.api.export import export_map
-        from planet_heightmap_generation_tpu.mesh.device import to_device
-        import numpy as np
-
-        params = GenerationParams(seed=seed, n_cells=4_000_000,
-                                  skip_climate=True)
-        _run_once(engine, params)  # warmup/compile
-        t0 = time.perf_counter()
-        results = generate_batch(params, list(range(seed, seed + 16)),
-                                 engine=engine)
-        img = export_map(to_device(results[-1].graph), results[-1].elevation,
-                         "heightmap", height=4096, width=8192)
-        assert np.isfinite(img).all()
-        wall = time.perf_counter() - t0
-        cells_per_s = 16 * 4_000_000 / wall
-        print(json.dumps({
-            "metric": "sweep16_4m_cells_per_s",
-            "value": round(cells_per_s),
-            "unit": "cells/s",
-            # baseline: 16 sequential reference runs at ~30 s each for 4M
-            "vs_baseline": round((16 * 30.0) / wall, 2),
-        }))
+    if only:
+        if only == "5":
+            _bench_sweep(engine, seed)
+        else:
+            _bench_config(engine, only, seed)
         return
 
-    if cfg in (1, 2, 3, 4):
-        params = _params_for_config(cfg, seed)
-        _run_once(engine, params)  # warmup: compile everything
-        wall, r, diag = _run_once(engine, params.replace(seed=seed + 1))
-        assert diag["nan_count"] == 0, f"NaNs in elevation: {diag}"
-        print(json.dumps({
-            "metric": f"config{cfg}_wall_s_{params.n_cells // 1000}k",
-            "value": round(wall, 3),
-            "unit": "s",
-            "vs_baseline": round(5.0 * (params.n_cells / 204_000) / wall, 2),
-        }))
-        return
-
-    # default: the reference's default planet
-    n = int(os.environ.get("BENCH_N", 204_000))
-    skip_climate = os.environ.get("BENCH_SKIP_CLIMATE", "0") == "1"
-    params = GenerationParams(seed=seed, n_cells=n, skip_climate=skip_climate)
-
-    _, _, diag = _run_once(engine, params)  # warmup: compile everything
-    assert diag["nan_count"] == 0, f"NaNs in elevation: {diag}"
-
-    # measured run (different seed → same shapes, jit cache hot)
-    wall, r, diag = _run_once(engine, params.replace(seed=seed + 1))
-    assert diag["nan_count"] == 0, f"NaNs in elevation: {diag}"
-
-    baseline_s = 5.0  # browser "locks for multiple seconds" at 200K+ cells
-    print(json.dumps({
-        "metric": f"full_gen_wall_s_{n // 1000}k",
-        "value": round(wall, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / wall, 2),
-    }))
+    # Ladder: cheapest first; each config emits as soon as it completes.
+    # Before each rung, require enough remaining budget (scaled estimate
+    # from the previous rung's cold time, x2 for cold compile of new shapes).
+    last_wall = None
+    last_n = None
+    for cfg in ("1", "d", "2", "3", "4"):
+        params = _params_for(cfg, seed)
+        if last_wall is not None:
+            est = last_wall * (params.n_cells / last_n) * 2.0 + 20
+            if _remaining() < est:
+                break
+        elif _remaining() < 30:
+            break
+        try:
+            last_wall = _bench_config(engine, cfg, seed)
+            last_n = params.n_cells
+        except Exception as e:  # keep earlier lines on stdout
+            print(f"bench config {cfg} failed: {e!r}", file=sys.stderr)
+            break
+    if last_wall is not None and _remaining() > last_wall * 16 * 1.2 + 60:
+        try:
+            _bench_sweep(engine, seed)
+        except Exception as e:
+            print(f"bench sweep failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

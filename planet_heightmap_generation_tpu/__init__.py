@@ -29,8 +29,17 @@ def _enable_compilation_cache() -> None:
     if cache == "0":
         return
     if not cache:
-        cache = _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache")
+        # repo-local only when running from a source checkout; an installed
+        # copy (site-packages) caches under the user cache dir instead of
+        # writing into the install tree
+        parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        if _os.path.isdir(_os.path.join(parent, ".git")):
+            cache = _os.path.join(parent, ".jax_cache")
+        else:
+            cache = _os.path.join(
+                _os.environ.get("XDG_CACHE_HOME",
+                                _os.path.expanduser("~/.cache")),
+                "planet_tpu", "jax")
     try:
         _os.makedirs(cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", cache)

@@ -229,17 +229,22 @@ def layer_color(result, name: str) -> jax.Array:
         oc = cl["ocean"]
         return current_color(oc["r_ocean_warmth_summer"],
                              oc["r_ocean_speed_summer"])
-    if name.startswith("pressure"):
-        return pressure_color(dbg[name])
-    if name.startswith("windSpeed"):
-        return magnitude_color(dbg[name])
-    if name == "continentality":
-        return continentality_color(dbg[name])
-    if name.startswith("precip"):
-        return precipitation_color(dbg[name])
-    if name.startswith("rainShadow"):
-        return rain_shadow_color(dbg[name])
-    if name.startswith("temp"):
+    if name.startswith(("pressure", "windSpeed", "precip", "rainShadow",
+                        "temp")) or name == "continentality":
+        # climate-derived debug layers share the ValueError contract of
+        # biome/koppen/currents when climate was skipped
+        if name not in dbg:
+            raise ValueError(f"layer {name!r} requires climate")
+        if name.startswith("pressure"):
+            return pressure_color(dbg[name])
+        if name.startswith("windSpeed"):
+            return magnitude_color(dbg[name])
+        if name == "continentality":
+            return continentality_color(dbg[name])
+        if name.startswith("precip"):
+            return precipitation_color(dbg[name])
+        if name.startswith("rainShadow"):
+            return rain_shadow_color(dbg[name])
         return temperature_color(dbg[name])
     if name == "superPlates":
         sp = dbg[name].astype(jnp.int32)

@@ -20,20 +20,37 @@ import jax
 import jax.numpy as jnp
 
 
+_SAMPLE_CHUNK = 512
+
+
+@jax.jit
+def _nearest_chunk(q, pos, valid):
+    score = q @ pos.T                                     # [chunk, NP]
+    return jnp.argmax(jnp.where(valid[None, :], score, -2.0), axis=1)
+
+
 def _grid_sample_cells(graph, spacing_deg: float) -> np.ndarray:
     """Nearest region per lat/lon bin center (js/planet-mesh.js:1300-1340's
-    binning, computed exactly with a device argmax per bin batch)."""
+    binning, computed exactly with a device argmax per bin chunk). Chunking
+    (512 bin centers at a time) bounds the [chunk, NP] score matrix to a few
+    MB regardless of cell count — the default 3° spacing is 7200 bins, which
+    unchunked would be ~115 GB at the 4M-cell scale."""
     lats = np.arange(-90 + spacing_deg / 2, 90, spacing_deg)
     lons = np.arange(-180 + spacing_deg / 2, 180, spacing_deg)
     glat, glon = np.meshgrid(np.radians(lats), np.radians(lons), indexing="ij")
     q = np.stack([np.cos(glat) * np.sin(glon),
                   np.sin(glat),
                   np.cos(glat) * np.cos(glon)], axis=-1).reshape(-1, 3)
+    q = q.astype(np.float32)
     pos = jnp.asarray(graph.pos)
     valid = jnp.asarray(graph.valid)
-    score = jnp.asarray(q, jnp.float32) @ pos.T          # [M, NP]
-    idx = jnp.argmax(jnp.where(valid[None, :], score, -2.0), axis=1)
-    return np.asarray(idx)
+    m = q.shape[0]
+    pad = (-m) % _SAMPLE_CHUNK  # pad to a whole number of fixed-size chunks
+    if pad:                      # (one compiled kernel for every spacing)
+        q = np.concatenate([q, np.tile(q[-1:], (pad, 1))], axis=0)
+    out = [np.asarray(_nearest_chunk(jnp.asarray(c), pos, valid))
+           for c in q.reshape(-1, _SAMPLE_CHUNK, 3)]
+    return np.concatenate(out)[:m]
 
 
 def _tangent_frames(pos: np.ndarray):

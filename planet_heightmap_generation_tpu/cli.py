@@ -153,9 +153,10 @@ def main(argv=None):
         from .api.export import export_map, save_png
         from .mesh.device import to_device
 
-        if "-" in args.seeds and "," not in args.seeds:
-            a, b = args.seeds.split("-")
-            seeds = list(range(int(a), int(b) + 1))
+        import re
+        m = re.fullmatch(r"(-?\d+)-(-?\d+)", args.seeds.strip())
+        if m:
+            seeds = list(range(int(m.group(1)), int(m.group(2)) + 1))
         else:
             seeds = [int(x) for x in args.seeds.split(",")]
         params = _params_from_args(args)

@@ -52,74 +52,78 @@ def _bin_aggregates(lat, lon, elev, is_land, valid):
     return cnt[:-1], land[:-1], esum[:-1]
 
 
-def _geo_sample_host(cnt, land, esum, lat, lon, radius):
-    """Circular sample over the binned grid (host; replaces js/wind.js:126-164).
-    Bins are included when their center lies within ``radius``."""
-    lat_c = (np.arange(LAT_BINS) + 0.5) / LAT_BINS * np.pi - np.pi / 2
-    lon_c = (np.arange(LON_BINS) + 0.5) / LON_BINS * 2 * np.pi - np.pi
-    cos_d = (np.sin(lat) * np.sin(lat_c)[:, None]
-             + np.cos(lat) * np.cos(lat_c)[:, None]
-             * np.cos(lon_c[None, :] - lon))
-    sel = cos_d >= np.cos(radius)
-    total = cnt[sel].sum()
-    if total == 0:
-        return 0.0, 0.0
-    return land[sel].sum() / total, esum[sel].sum() / total
+_ITCZ_LONS = (-np.pi + (np.arange(NUM_ITCZ_LON) + 0.5)
+              * (2 * np.pi / NUM_ITCZ_LON)).astype(np.float32)
+_SAMPLE_DEGS = np.array([5.0, 10.0, 15.0, 20.0], np.float32)
 
 
-def _elev_to_km_scalar(e):
-    if e <= 0:
-        return e * 10.0
-    t = min(e, 1.0)
-    return 6 * t**4 * (5 - 4 * t)
+def _elev_to_km_vec(e):
+    t = jnp.minimum(e, 1.0)
+    return jnp.where(e <= 0, e * 10.0, 6 * t**4 * (5 - 4 * t))
 
 
-def _compute_itcz_host(cnt, land, esum, season_sign):
-    """ITCZ latitude per longitude (js/wind.js:174-232), host numpy."""
-    lons = -np.pi + (np.arange(NUM_ITCZ_LON) + 0.5) * (2 * np.pi / NUM_ITCZ_LON)
-    raw = np.zeros(NUM_ITCZ_LON)
-    radius = 20 * DEG
-    for i, lon in enumerate(lons):
-        land_sum = elev_sum = 0.0
-        samples = 0
-        for deg in (5, 10, 15, 20):
-            lf, ae = _geo_sample_host(cnt, land, esum, deg * season_sign * DEG,
-                                      lon, radius)
-            land_sum += lf
-            elev_sum += ae
-            samples += 1
-        avg_land = land_sum / samples
-        avg_elev = elev_sum / samples
-        land_pull = min(1.0, avg_land * 2)
-        itcz_deg = 5 + land_pull * 15 - _elev_to_km_scalar(avg_elev) * 1.5
-        raw[i] = max(5.0, min(20.0, itcz_deg)) * season_sign * DEG
+def _itcz_latitudes(cnt, land, esum, season_sign: float):
+    """ITCZ latitude per longitude (js/wind.js:174-232) — device version.
+    The reference scans CSR cells per circular sample; here the 72×4 sample
+    circles reduce over the [36,72] bin grid with a broadcast mask."""
+    cnt2 = cnt.reshape(LAT_BINS, LON_BINS)
+    land2 = land.reshape(LAT_BINS, LON_BINS)
+    esum2 = esum.reshape(LAT_BINS, LON_BINS)
+
+    lat_c = ((np.arange(LAT_BINS) + 0.5) / LAT_BINS * np.pi
+             - np.pi / 2).astype(np.float32)
+    lon_c = ((np.arange(LON_BINS) + 0.5) / LON_BINS * 2 * np.pi
+             - np.pi).astype(np.float32)
+    lat_s = (_SAMPLE_DEGS * season_sign * DEG)[:, None, None, None]  # [4,1,1,1]
+    lon_s = _ITCZ_LONS[None, :, None, None]                          # [1,72,1,1]
+    cos_d = (jnp.sin(lat_s) * jnp.sin(lat_c)[None, None, :, None]
+             + jnp.cos(lat_s) * jnp.cos(lat_c)[None, None, :, None]
+             * jnp.cos(lon_c[None, None, None, :] - lon_s))
+    sel = (cos_d >= math.cos(20 * DEG)).astype(jnp.float32)  # [4,72,36,72]
+
+    tot = jnp.einsum("dlij,ij->dl", sel, cnt2)
+    lnd = jnp.einsum("dlij,ij->dl", sel, land2)
+    elv = jnp.einsum("dlij,ij->dl", sel, esum2)
+    lf = jnp.where(tot > 0, lnd / jnp.maximum(tot, 1.0), 0.0)
+    ae = jnp.where(tot > 0, elv / jnp.maximum(tot, 1.0), 0.0)
+    avg_land = jnp.mean(lf, axis=0)   # [72]
+    avg_elev = jnp.mean(ae, axis=0)
+
+    land_pull = jnp.minimum(1.0, avg_land * 2)
+    itcz_deg = 5 + land_pull * 15 - _elev_to_km_vec(avg_elev) * 1.5
+    lats = jnp.clip(itcz_deg, 5.0, 20.0) * season_sign * DEG
 
     # 3-pass periodic [0.25, 0.5, 0.25] smoothing + re-clamp (js/wind.js:212-228)
-    lats = raw.copy()
     for _ in range(3):
-        lats = 0.25 * np.roll(lats, 1) + 0.5 * lats + 0.25 * np.roll(lats, -1)
+        lats = 0.25 * jnp.roll(lats, 1) + 0.5 * lats + 0.25 * jnp.roll(lats, -1)
     lo = (5 if season_sign > 0 else -20) * DEG
     hi = (20 if season_sign > 0 else -5) * DEG
-    lats = np.clip(lats, lo, hi)
-    return lons, lats
+    return jnp.clip(lats, lo, hi)
 
 
-def _build_periodic_spline(xs, ys):
-    """Periodic cubic spline with the reference's 20-iteration relaxation
-    solve (js/wind.js:12-53). Uniform knots."""
-    n = len(xs)
+def _build_periodic_spline(ys):
+    """Periodic cubic spline with the reference's 20-iteration Gauss-Seidel
+    relaxation solve (js/wind.js:12-53), uniform knots — device version
+    (lax.fori over the sequential sweep, 20×72 trivial steps). Returns the
+    (x0, h, ys, b, c, d) tuple eval_spline consumes."""
+    n = NUM_ITCZ_LON
     period = 2 * np.pi
-    h = np.full(n, period / n)
-    alpha = (3 / h) * (np.roll(ys, -1) - ys) - (3 / np.roll(h, 1)) * (ys - np.roll(ys, 1))
-    c = np.zeros(n)
-    for _ in range(20):
-        for i in range(n):
+    h = np.float32(period / n)
+    ys = ys.astype(jnp.float32)
+    alpha = (3 / h) * (jnp.roll(ys, -1) - ys) - (3 / h) * (ys - jnp.roll(ys, 1))
+
+    def sweep(_, c):
+        def body(i, c):
             prev = (i - 1) % n
             nxt = (i + 1) % n
-            c[i] = (alpha[i] - h[prev] * c[prev] - h[i] * c[nxt]) / (2 * (h[prev] + h[i]))
-    b = (np.roll(ys, -1) - ys) / h - h * (np.roll(c, -1) + 2 * c) / 3
-    d = (np.roll(c, -1) - c) / (3 * h)
-    return dict(x0=xs[0], h=float(h[0]), ys=ys, b=b, c=c, d=d, n=n)
+            val = (alpha[i] - h * c[prev] - h * c[nxt]) / (4 * h)
+            return c.at[i].set(val)
+        return jax.lax.fori_loop(0, n, body, c)
+
+    c = jax.lax.fori_loop(0, 20, sweep, jnp.zeros(n, jnp.float32))
+    b = (jnp.roll(ys, -1) - ys) / h - h * (jnp.roll(c, -1) + 2 * c) / 3
+    d = (jnp.roll(c, -1) - c) / (3 * h)
+    return (jnp.float32(_ITCZ_LONS[0]), jnp.float32(h), ys, b, c, d)
 
 
 def eval_spline(spline_arrs, lon):
@@ -131,12 +135,6 @@ def eval_spline(spline_arrs, lon):
     seg = jnp.clip((t / h).astype(jnp.int32), 0, n - 1)
     dx = t - seg * h
     return ys[seg] + b[seg] * dx + c[seg] * dx * dx + d[seg] * dx * dx * dx
-
-
-def _spline_to_device(sp):
-    return (jnp.float32(sp["x0"]), jnp.float32(sp["h"]),
-            jnp.asarray(sp["ys"], jnp.float32), jnp.asarray(sp["b"], jnp.float32),
-            jnp.asarray(sp["c"], jnp.float32), jnp.asarray(sp["d"], jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("is_summer",))
@@ -202,15 +200,11 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     gf = geo_frame(g.pos)
     is_land = (elev > 0) & g.valid
 
-    # ITCZ (host over device bin aggregates)
+    # ITCZ — fully on device (bin aggregates → circular samples → spline),
+    # so the wind stage runs with zero host round trips
     cnt, land_cnt, esum = _bin_aggregates(gf.lat, gf.lon, elev, is_land, g.valid)
-    cnt_h, land_h, esum_h = (np.asarray(cnt).reshape(LAT_BINS, LON_BINS),
-                             np.asarray(land_cnt).reshape(LAT_BINS, LON_BINS),
-                             np.asarray(esum).reshape(LAT_BINS, LON_BINS))
-    lons, lats_summer = _compute_itcz_host(cnt_h, land_h, esum_h, 1)
-    _, lats_winter = _compute_itcz_host(cnt_h, land_h, esum_h, -1)
-    sp_summer = _spline_to_device(_build_periodic_spline(lons, lats_summer))
-    sp_winter = _spline_to_device(_build_periodic_spline(lons, lats_winter))
+    sp_summer = _build_periodic_spline(_itcz_latitudes(cnt, land_cnt, esum, 1.0))
+    sp_winter = _build_periodic_spline(_itcz_latitudes(cnt, land_cnt, esum, -1.0))
 
     # continentality: BFS from main-ocean coast through land (js/wind.js:476-554)
     is_ocean_cell = (~is_land) & g.valid
@@ -260,10 +254,9 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
 
     # ITCZ samples for downstream lookup + visualization (360 points)
     m = 360
-    vlons = -np.pi + (np.arange(m) + 0.5) * (2 * np.pi / m)
-    def _eval_np(sp_dict, lon_arr):
-        return np.asarray(eval_spline(sp_dict, jnp.asarray(lon_arr, jnp.float32)))
-    result["itcz_lons"] = jnp.asarray(vlons, jnp.float32)
-    result["itcz_lats_summer"] = jnp.asarray(_eval_np(sp_summer, vlons), jnp.float32)
-    result["itcz_lats_winter"] = jnp.asarray(_eval_np(sp_winter, vlons), jnp.float32)
+    vlons = jnp.asarray(
+        -np.pi + (np.arange(m) + 0.5) * (2 * np.pi / m), jnp.float32)
+    result["itcz_lons"] = vlons
+    result["itcz_lats_summer"] = eval_spline(sp_summer, vlons)
+    result["itcz_lats_winter"] = eval_spline(sp_winter, vlons)
     return result

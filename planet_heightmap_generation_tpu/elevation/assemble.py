@@ -35,6 +35,18 @@ SUPER_W = 0.95
 BASE_SCALE = 0.6
 
 
+def elevation_tables(seed: int) -> Dict[str, Tables]:
+    """All seed-derived noise tables the elevation stage consumes, built on
+    host once per seed. Passing this pack (plus prebuilt ``domes``) into
+    :func:`assign_elevation` makes the stage fully traceable — no host work
+    inside, so it can live under one fused jit without retracing per seed."""
+    return dict(
+        base=tables(seed), rift=tables(seed + 419), fold=tables(seed + 557),
+        c1=tables(seed + 77), c2=tables(seed + 133), c3=tables(seed + 211),
+        arc=tables(seed + 307), hs1=tables(seed + 501), hs2=tables(seed + 502),
+    )
+
+
 class ElevationResult(NamedTuple):
     elevation: jax.Array        # [N] f32
     mountain: jax.Array         # [N] bool (seed masks, post-blend)
@@ -438,8 +450,17 @@ def assign_elevation(
     seed: int, noise_mag: float, spread: float = 5.0,
     r_super_plate: Optional[jax.Array] = None,
     super_is_ocean=None, super_pole=None, super_omega=None, super_density=None,
+    noise_pack: Optional[Dict[str, Tables]] = None,
+    domes: Optional[Dict[str, jax.Array]] = None,
 ) -> ElevationResult:
-    """Full elevation synthesis orchestration (js/elevation.js:216-1391)."""
+    """Full elevation synthesis orchestration (js/elevation.js:216-1391).
+
+    ``noise_pack`` / ``domes``: prebuilt host prologue products (see
+    :func:`elevation_tables`, hotspots.build_domes). When both are given the
+    function is pure-traceable (``seed`` may be a traced uint32 scalar, used
+    only for hash salts); when omitted they are built here on host —
+    convenient for tests, but forces device→host syncs mid-stage. An empty
+    ``domes`` dict means "no hotspots"."""
     n = g.n_cells
     npad = g.n_padded
     dt = 1e-2 / max(1.0, math.sqrt(n / 10000.0))
@@ -447,7 +468,8 @@ def assign_elevation(
     warp_oct = 2 if n > 200000 else 3
     sf_res = math.sqrt(n / 10000.0)
 
-    noise_t = tables(seed)
+    nt = noise_pack if noise_pack is not None else elevation_tables(seed)
+    noise_t = nt["base"]
 
     small = find_collisions(g, r_plate, plate_is_ocean, plate_pole,
                             plate_omega, plate_density, noise_t, dt, undul_oct)
@@ -568,8 +590,8 @@ def assign_elevation(
     backarc_stress = ba_carry[0]
 
     # -------- fused assembly --------
-    rift_t = tables(seed + 419)
-    fold_t = tables(seed + 557)
+    rift_t = nt["rift"]
+    fold_t = nt["fold"]
     elev, debug = _main_assembly(
         g.pos, r_is_ocean, stress, subduct, col.btype,
         dist_mountain, dist_ocean, dist_coastline, dist_coast, dist_coast_land,
@@ -590,7 +612,7 @@ def assign_elevation(
     elev, dl_coastal = _coastal_roughening(
         g.pos, elev, r_is_ocean, stress, max_stress,
         d_bdry, coast_stress, coast_subduct, coast_convergent,
-        tables(seed + 77), tables(seed + 133), tables(seed + 211),
+        nt["c1"], nt["c2"], nt["c3"],
         noise_t, jnp.float32(noise_mag),
         coast_roughen_dist=max_cd, island_band=max(4, round(4 * sf_res)))
 
@@ -601,20 +623,21 @@ def assign_elevation(
         arc_seeds, arc_carry0, g.nbr_idx, g.nbr_mask, max_hops=max_arc,
         allow=r_is_ocean, edge_same=same_plate)
     elev, dl_arc = _island_arcs(
-        g.pos, elev, arc_dist, arc_carry[0], tables(seed + 307),
+        g.pos, elev, arc_dist, arc_carry[0], nt["arc"],
         peak_dist=max(1.5, 1.5 * sf_res), sigma=max(1.5, 1.5 * sf_res),
         max_arc_dist=max_arc)
     debug["coastal"] = dl_coastal + dl_arc
 
     # -------- hotspots --------
-    centers_plate = np.asarray(r_plate)
-    domes = build_domes(
-        seed, np.asarray(g.pos), centers_plate,
-        np.asarray(plate_pole), np.asarray(plate_omega),
-        np.asarray(plate_is_ocean), n)
+    if domes is None:
+        centers_plate = np.asarray(r_plate)
+        built = build_domes(
+            seed, np.asarray(g.pos), centers_plate,
+            np.asarray(plate_pole), np.asarray(plate_omega),
+            np.asarray(plate_is_ocean), n)
+        domes = {k: jnp.asarray(v) for k, v in built.items()}
     if domes:
-        domes_j = {k: jnp.asarray(v) for k, v in domes.items()}
-        hs = hotspot_uplift(g.pos, domes_j, tables(seed + 501), tables(seed + 502))
+        hs = hotspot_uplift(g.pos, domes, nt["hs1"], nt["hs2"])
         elev = elev + hs
         debug["hotspot"] = hs
     else:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rng import ParkMiller
-from ..ops.noise import Tables, tables, noise3, fbm, ridged_fbm
+from ..ops.noise import Tables, fbm, ridged_fbm
 
 NUM_HOTSPOTS = 5
 CHAIN_LENGTH = 6
@@ -35,14 +35,23 @@ MAX_RIFTS = 3
 MAX_DOMES = 64
 
 
-def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
+def build_domes(seed: int, pos: np.ndarray, r_plate,
                 plate_pole: np.ndarray, plate_omega: np.ndarray,
                 plate_is_ocean: np.ndarray, n_cells: int) -> Dict[str, np.ndarray]:
     """Host dome-list builder (js/elevation.js:1149-1261). Sequential RNG,
-    ≤ NUM_HOTSPOTS*(1+chain) entries. Returns dict of [D]-shaped arrays."""
+    ≤ NUM_HOTSPOTS*(1+chain) entries. Returns dict of [D]-shaped arrays.
+
+    ``r_plate`` is either an int array (plate per cell) or a callable
+    ``center_index -> plate`` — the engine passes a host-side coarse-grid
+    projection lookup so building domes never reads device arrays. All
+    noise here is the numpy mirror (:func:`noise3_np`) for the same reason."""
+    from ..ops.noise import make_perm_tables, noise3_np
+
     hs_rng = ParkMiller(seed + 999)
     hs_randint = ParkMiller(seed + 1001)
-    hs_noise3_t = tables(seed + 503)
+    perm503, pm503 = make_perm_tables(seed + 503)
+    plate_of = r_plate if callable(r_plate) else (
+        lambda c: int(np.asarray(r_plate)[c]))
 
     def tangent_frame(p, d):
         u = d - (d @ p) * p
@@ -60,7 +69,7 @@ def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
 
         center = hs_randint.rand_int(n_cells)
         p = pos[center].astype(np.float64)
-        plate = int(r_plate[center])
+        plate = int(plate_of(center))
         pole = plate_pole[plate]
         omega = plate_omega[plate]
         drift = omega * np.cross(pole, p)
@@ -70,8 +79,8 @@ def build_domes(seed: int, pos: np.ndarray, r_plate: np.ndarray,
         drift = drift / dl
         ocean_boost = 1.8 if plate_is_ocean[plate] else 1.0
 
-        base_rift = float(np.asarray(noise3(
-            hs_noise3_t, p[0] * 10, p[1] * 10, p[2] * 10))) * np.pi
+        base_rift = float(noise3_np(
+            perm503, pm503, p[0] * 10, p[1] * 10, p[2] * 10)) * np.pi
 
         def rift_angles(ci, cl):
             if ci == 0:

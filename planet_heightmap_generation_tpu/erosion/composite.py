@@ -85,11 +85,17 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
 
 
 def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
-                        hotspot: Optional[jax.Array] = None):
+                        hotspot: Optional[jax.Array] = None,
+                        avg_edge: Optional[float] = None,
+                        warp_t=None):
     """Full post stage with the worker's slider mapping
     (js/planet-worker.js:40-102). ``params`` keys: smoothing,
     glacial_erosion, hydraulic_erosion, thermal_erosion, ridge_sharpening,
-    terrain_warp. Returns (elevation, erosion_delta)."""
+    terrain_warp. Returns (elevation, erosion_delta).
+
+    ``avg_edge`` (mean neighbor distance, a host-known mesh property) and
+    ``warp_t`` (seed+9999 noise tables) can be supplied by the engine
+    prologue so the whole stage is traceable with no device reads."""
     smoothing = params.get("smoothing", 0.0)
     glacial = params.get("glacial_erosion", 0.0)
     hydraulic = params.get("hydraulic_erosion", 0.0)
@@ -99,11 +105,14 @@ def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
 
     if tw > 0:
         max_amp = 0.12 * tw
-        avg_edge = float(jnp.sum(g.nbr_dist) / jnp.maximum(1, jnp.sum(g.nbr_mask)))
+        if avg_edge is None:
+            avg_edge = float(
+                jnp.sum(g.nbr_dist) / jnp.maximum(1, jnp.sum(g.nbr_mask)))
         max_steps = int(math.ceil(max_amp / max(avg_edge, 1e-6))) + 8
         hot = hotspot if hotspot is not None else jnp.zeros_like(elev)
         elev = warp_terrain(elev, g.pos, g.nbr_idx, g.nbr_mask, g.valid,
-                            tables(seed + 9999), jnp.float32(tw), hot,
+                            warp_t if warp_t is not None else tables(seed + 9999),
+                            jnp.float32(tw), hot,
                             max_steps=max_steps)
 
     # ocean mask frozen BEFORE smoothing/erosion (js/planet-worker.js:51-54)

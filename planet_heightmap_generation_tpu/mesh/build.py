@@ -190,6 +190,13 @@ def build_sphere(
             lo, hi = offsets0[v], offsets0[v + 1]
             order = np.argsort(edge_d[lo:hi], kind="stable")
             keep[lo + order[k_max:]] = False
+        # drop the reverse edges of every dropped edge too: an asymmetric
+        # graph breaks conservation in proportional-share transport (a
+        # receiver's total[j] would count an edge the sender no longer has)
+        # and silently skips pole-fan neighbors in circulation order
+        dropped = src[~keep].astype(np.int64) * n_total + dst[~keep]
+        rev_key = dst.astype(np.int64) * n_total + src
+        keep &= ~np.isin(rev_key, dropped)
         src, dst = src[keep], dst[keep]
         deg = np.bincount(src, minlength=n_total).astype(np.int32)
 

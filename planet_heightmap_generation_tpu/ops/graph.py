@@ -174,11 +174,18 @@ def bfs_hops(seeds, barrier, nbr_idx, nbr_mask, max_hops: int = 0,
     return dist
 
 
-def hash01(idx, salt: int):
+def hash01(idx, salt):
     """Deterministic per-cell hash → [0,1) on device (uint32 mix), used to
     randomize BFS fronts like the reference's Knuth-hash priority noise
-    (js/terrain-post.js:96-105)."""
-    h = (idx.astype(jnp.uint32) + jnp.uint32(salt & 0xFFFFFFFF)) * jnp.uint32(2654435761)
+    (js/terrain-post.js:96-105). ``salt`` may be a python int or a traced
+    integer scalar (so seed-dependence stays out of the compiled constant
+    pool and fused pipelines don't retrace per seed)."""
+    import numpy as _np
+    if isinstance(salt, (int, _np.integer)):
+        salt_u = jnp.uint32(salt & 0xFFFFFFFF)
+    else:
+        salt_u = jnp.asarray(salt).astype(jnp.uint32)
+    h = (idx.astype(jnp.uint32) + salt_u) * jnp.uint32(2654435761)
     h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
     h = h ^ (h >> 16)
     return (h % jnp.uint32(1 << 24)).astype(jnp.float32) / jnp.float32(1 << 24)

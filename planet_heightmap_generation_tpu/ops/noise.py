@@ -127,6 +127,55 @@ class SimplexNoise:
         return ridged_fbm(self.tables, x, y, z, octaves, lacunarity, gain, offset)
 
 
+def noise3_np(perm: np.ndarray, pm12: np.ndarray, x, y, z):
+    """Host (numpy) mirror of :func:`_noise3` for prologue-side scalar/point
+    evaluations (hotspot placement, host point projection) — keeps the
+    device pipeline free of tiny round-trip noise reads. Same tables, same
+    branch logic (reference js/simplex-noise.js:17-33); float64 here vs
+    float32 on device differs only at ~1e-7."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    s = (x + y + z) * _F3
+    i = np.floor(x + s)
+    j = np.floor(y + s)
+    k = np.floor(z + s)
+    t = (i + j + k) * _G3
+    x0 = x - i + t
+    y0 = y - j + t
+    z0 = z - k + t
+
+    cxy = x0 >= y0
+    cyz = y0 >= z0
+    cxz = x0 >= z0
+    one = np.ones_like(x, np.int64)
+    zero = np.zeros_like(x, np.int64)
+    i1 = np.where(cxy & (cyz | cxz), one, zero)
+    j1 = np.where(~cxy & cyz, one, zero)
+    k1 = np.where((cxy & ~cyz & ~cxz) | (~cxy & ~cyz), one, zero)
+    i2 = np.where(cxy | (~cxy & cyz & cxz), one, zero)
+    j2 = np.where(cxy & cyz, one, np.where(~cxy, one, zero))
+    k2 = np.where(cxy & ~cyz, one, np.where(~cxy & (~cyz | ~cxz), one, zero))
+
+    ii = i.astype(np.int64) & 255
+    jj = j.astype(np.int64) & 255
+    kk = k.astype(np.int64) & 255
+
+    def contrib(di, dj, dk, xo, yo, zo):
+        h = pm12[ii + di + perm[jj + dj + perm[kk + dk]]]
+        g = _GRAD[h]
+        tt = np.maximum(0.6 - xo * xo - yo * yo - zo * zo, 0.0)
+        t2 = tt * tt
+        return t2 * t2 * (g[..., 0] * xo + g[..., 1] * yo + g[..., 2] * zo)
+
+    n0 = contrib(0, 0, 0, x0, y0, z0)
+    n1 = contrib(i1, j1, k1, x0 - i1 + _G3, y0 - j1 + _G3, z0 - k1 + _G3)
+    n2 = contrib(i2, j2, k2, x0 - i2 + 2 * _G3, y0 - j2 + 2 * _G3,
+                 z0 - k2 + 2 * _G3)
+    n3 = contrib(1, 1, 1, x0 - 1 + 3 * _G3, y0 - 1 + 3 * _G3, z0 - 1 + 3 * _G3)
+    return 32.0 * (n0 + n1 + n2 + n3)
+
+
 def _corner_contrib(perm, pm12, grad, ii, jj, kk, xo, yo, zo):
     """Attenuated gradient dot for one simplex corner."""
     h = pm12[ii + perm[jj + perm[kk]]]

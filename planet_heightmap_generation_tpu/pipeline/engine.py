@@ -75,10 +75,12 @@ class PlanetResult:
         )
 
 
-def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_passes=3):
+def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_p: int,
+                                 num_passes=3):
     """Hi-res plate smoothing + reconnection on device (the reference runs
     smoothAndReconnectPlates on the projected map, js/planet-worker.js:173).
-    Seed protection is a no-op after projection (js/plates.js:246-250)."""
+    Seed protection is a no-op after projection (js/plates.js:246-250).
+    ``num_p`` is the host-known plate count (keeps the stage sync-free)."""
     protect = jnp.zeros(g.n_padded, bool)
     r_plate = majority_smooth(r_plate, g.nbr_idx, g.nbr_mask, protect,
                               num_passes=num_passes)
@@ -89,7 +91,6 @@ def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_passes=3):
     sizes = jax.ops.segment_sum(
         g.valid.astype(jnp.int32), labels, num_segments=n)
     comp_size = sizes[labels]
-    num_p = int(jnp.max(r_plate)) + 1
     max_per_plate = jax.ops.segment_max(
         jnp.where(g.valid, comp_size, 0), r_plate, num_segments=num_p)
     is_max = comp_size == max_per_plate[r_plate]
@@ -99,6 +100,24 @@ def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_passes=3):
     in_main = is_max & (labels == min_tied[r_plate]) & g.valid
     val, _ = flood_assign(r_plate, in_main, g.nbr_idx, g.nbr_mask)
     return jnp.where(g.valid, val, r_plate).astype(jnp.int32)
+
+
+def _host_prologue(graph, coarse, plates, seed: int, num_plates: int):
+    """Seed-derived host products consumed by the device pipeline: hotspot
+    dome list (plate lookup via the host coarse-grid projection — no device
+    reads), the elevation noise-table pack, and the warp tables."""
+    from ..elevation.assemble import elevation_tables
+    from ..elevation.hotspots import build_domes
+    from ..tectonics.coarse import project_points_host
+
+    def plate_of(center: int) -> int:
+        return int(project_points_host(
+            coarse, seed, num_plates, graph.pos[center])[0])
+
+    domes_np = build_domes(seed, graph.pos, plate_of, plates.pole,
+                           plates.omega, plates.is_ocean, graph.n_cells)
+    domes = {k: jnp.asarray(v) for k, v in domes_np.items()}
+    return domes, elevation_tables(seed), tables(seed + 9999)
 
 
 def _plate_device_arrays(plates):
@@ -114,9 +133,18 @@ def _triangle_elevations(elevation, triangles):
 
 
 class PlanetEngine:
-    """Stateful engine mirroring the worker's retained-state protocol."""
+    """Stateful engine mirroring the worker's retained-state protocol.
 
-    def __init__(self):
+    ``timing=True`` (or PLANET_TIMING=1) syncs the device after every stage
+    for true per-stage timings — the reference's console.table discipline.
+    The default is the production path: the whole device pipeline is
+    enqueued gap-free and synced once at the end."""
+
+    def __init__(self, timing: Optional[bool] = None):
+        import os
+        if timing is None:
+            timing = os.environ.get("PLANET_TIMING", "0") == "1"
+        self._timing = bool(timing)
         self._w: Optional[dict] = None
 
     # ── generate ─────────────────────────────────────────────────────
@@ -136,13 +164,14 @@ class PlanetEngine:
 
     def _generate(self, params: GenerationParams,
                   on_progress: Optional[Callable] = None) -> PlanetResult:
-        timer = StageTimer()
+        timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         seed = params.seed
         skip_climate = params.skip_climate
         if skip_climate is None:
             skip_climate = params.n_cells > AUTO_CLIMATE_THRESHOLD
 
+        # ── host prologue: everything seed-derived that isn't per-cell ──
         prog(0, "Shaping the world…")
         rng = ParkMiller(seed)
         with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
@@ -155,14 +184,6 @@ class PlanetEngine:
                 seed, params.n_plates, params.num_continents,
                 params.continent_size_variety, params.land_coverage)
 
-        prog(20, "Projecting plates…")
-        with timer.stage("Project coarse → hi-res", sync=lambda: r_plate):
-            r_plate = project_coarse_plates(graph, coarse, seed, params.n_plates)
-
-        prog(25, "Smoothing boundaries…")
-        with timer.stage("Smooth projected plates", sync=lambda: r_plate):
-            r_plate = _smooth_and_reconnect_device(g, r_plate, 3)
-
         plates = coarse.plates
         original_is_ocean = plates.is_ocean.copy()
         for i in params.toggled_indices:
@@ -170,55 +191,123 @@ class PlanetEngine:
                 plates.is_ocean[i] = not plates.is_ocean[i]
         assign_plate_densities(plates)
 
+        # Super plates from the coarse map: the plate-level graph (areas,
+        # adjacency) is resolution-independent, so building it on the 20K
+        # coarse assignment avoids syncing the projected hi-res map back to
+        # host mid-pipeline (the reference builds it from the projected map,
+        # js/planet-worker.js:207-211 — same plates, same adjacency up to
+        # boundary warping).
         super_sp = None
         if params.n_plates >= 8:
             with timer.stage("Super plates"):
-                super_sp = build_super_plates(graph, np.asarray(r_plate)[: graph.n_cells], plates)
+                super_sp = build_super_plates(
+                    coarse.graph, coarse.r_plate, plates)
 
-        prog(35, "Raising mountains…")
-        with timer.stage("Elevation", sync=lambda: elev_res.elevation):
-            p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
-            kw = {}
-            if super_sp is not None:
-                kw = dict(
-                    r_super_plate=jnp.asarray(
-                        super_sp.plate_to_super.astype(np.int32))[r_plate],
-                    super_is_ocean=jnp.asarray(super_sp.is_ocean),
-                    super_pole=jnp.asarray(super_sp.pole.astype(np.float32)),
-                    super_omega=jnp.asarray(super_sp.omega.astype(np.float32)),
-                    super_density=jnp.asarray(super_sp.density.astype(np.float32)),
-                )
-            elev_res = assign_elevation(
-                g, r_plate, p_ocean, p_pole, p_omega, p_dens,
-                seed=seed, noise_mag=params.roughness, spread=params.spread,
-                **kw)
+        with timer.stage("Hotspot domes + noise tables"):
+            domes, noise_pack, warp_t = _host_prologue(
+                graph, coarse, plates, seed, params.n_plates)
 
-        pre_post = elev_res.elevation
+        # ── device pipeline: enqueued gap-free, no host reads ──
+        prog(20, "Projecting plates…")
+        p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
+        sup_arrays = None
+        if super_sp is not None:
+            sup_arrays = (
+                jnp.asarray(super_sp.plate_to_super.astype(np.int32)),
+                jnp.asarray(super_sp.is_ocean),
+                jnp.asarray(super_sp.pole.astype(np.float32)),
+                jnp.asarray(super_sp.omega.astype(np.float32)),
+                jnp.asarray(super_sp.density.astype(np.float32)),
+            )
+        avg_edge = math.pi / math.sqrt(graph.n_cells)
 
-        prog(60, "Eroding terrain…")
-        with timer.stage("Terrain post-processing", sync=lambda: elevation):
-            elevation, erosion_delta = run_post_processing(
-                g, pre_post, seed, dataclasses.asdict(params),
-                hotspot=elev_res.debug.get("hotspot"))
-        debug = dict(elev_res.debug)
-        debug["erosionDelta"] = erosion_delta
+        if not self._timing:
+            # production path: the whole device side is ONE jitted program —
+            # a single dispatch and a single final sync (pipeline/fused.py)
+            from .fused import FusedSpec, fused_pipeline
+            from ..tectonics.coarse import projection_inputs
 
-        climate = None
-        if not skip_climate:
-            climate = self._run_climate(
-                g, elevation, p_ocean, r_plate, seed, params, timer, prog, debug)
+            spec = FusedSpec.of(
+                params, plates.num_plates, sup_arrays is not None,
+                bool(domes), coarse.bins.n_lat, coarse.bins.n_lon,
+                skip_climate)
+            proj = projection_inputs(coarse, seed, params.n_plates)
+            with timer.stage("Device pipeline (fused)"):
+                out = fused_pipeline(spec)(
+                    g, proj, (p_ocean, p_pole, p_omega, p_dens), sup_arrays,
+                    domes, noise_pack, warp_t, tables(seed),
+                    jnp.asarray(graph.triangles), jnp.uint32(seed))
+            r_plate = out["r_plate"]
+            pre_post = out["pre_post"]
+            elevation = out["elevation"]
+            debug = out["debug"]
+            climate = out["climate"]
+            t_elev = out["t_elevation"]
+            stress = out["stress"]
+            mountain = out["mountain"]
+            coastline = out["coastline"]
+            ocean_seeds = out["ocean_seeds"]
+        else:
+            with timer.stage("Project coarse → hi-res", sync=lambda: r_plate):
+                r_plate = project_coarse_plates(
+                    graph, coarse, seed, params.n_plates)
 
-        with timer.stage("Triangle elevations"):
-            t_elev = _triangle_elevations(elevation, jnp.asarray(graph.triangles))
+            prog(25, "Smoothing boundaries…")
+            with timer.stage("Smooth projected plates", sync=lambda: r_plate):
+                r_plate = _smooth_and_reconnect_device(
+                    g, r_plate, plates.num_plates, 3)
+
+            prog(35, "Raising mountains…")
+            with timer.stage("Elevation", sync=lambda: elev_res.elevation):
+                kw = {}
+                if sup_arrays is not None:
+                    kw = dict(
+                        r_super_plate=sup_arrays[0][r_plate],
+                        super_is_ocean=sup_arrays[1],
+                        super_pole=sup_arrays[2],
+                        super_omega=sup_arrays[3],
+                        super_density=sup_arrays[4],
+                    )
+                elev_res = assign_elevation(
+                    g, r_plate, p_ocean, p_pole, p_omega, p_dens,
+                    seed=seed, noise_mag=params.roughness,
+                    spread=params.spread,
+                    noise_pack=noise_pack, domes=domes, **kw)
+
+            pre_post = elev_res.elevation
+
+            prog(60, "Eroding terrain…")
+            with timer.stage("Terrain post-processing", sync=lambda: elevation):
+                elevation, erosion_delta = run_post_processing(
+                    g, pre_post, seed, dataclasses.asdict(params),
+                    hotspot=elev_res.debug.get("hotspot"),
+                    avg_edge=avg_edge, warp_t=warp_t)
+            debug = dict(elev_res.debug)
+            debug["erosionDelta"] = erosion_delta
+
+            climate = None
+            if not skip_climate:
+                climate = self._run_climate(
+                    g, elevation, p_ocean, r_plate, seed, params, timer,
+                    prog, debug)
+
+            with timer.stage("Triangle elevations"):
+                t_elev = _triangle_elevations(
+                    elevation, jnp.asarray(graph.triangles))
+            stress = elev_res.stress
+            mountain = elev_res.mountain
+            coastline = elev_res.coastline
+            ocean_seeds = elev_res.ocean_seeds
 
         self._w = dict(
-            graph=graph, g=g, params=params, seed=seed,
+            graph=graph, g=g, params=params, seed=seed, coarse=coarse,
             r_plate=r_plate, plates=plates, super_sp=super_sp,
             original_is_ocean=original_is_ocean,
+            noise_pack=noise_pack, warp_t=warp_t,
             pre_post=pre_post, elevation_final=elevation,
-            mountain=elev_res.mountain, coastline=elev_res.coastline,
-            ocean_seeds=elev_res.ocean_seeds, stress=elev_res.stress,
-            hotspot=elev_res.debug.get("hotspot"),
+            mountain=mountain, coastline=coastline,
+            ocean_seeds=ocean_seeds, stress=stress,
+            hotspot=debug.get("hotspot"),
             cached_wind=(climate or {}).get("wind"),
             cached_ocean=(climate or {}).get("ocean"),
         )
@@ -228,10 +317,10 @@ class PlanetEngine:
             plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
             plate_density=plates.density,
             pre_post_elevation=pre_post, elevation=elevation,
-            t_elevation=t_elev, stress=elev_res.stress,
-            mountain_mask=elev_res.mountain,
-            coastline_mask=elev_res.coastline,
-            ocean_seed_mask=elev_res.ocean_seeds,
+            t_elevation=t_elev, stress=stress,
+            mountain_mask=mountain,
+            coastline_mask=coastline,
+            ocean_seed_mask=ocean_seeds,
             climate=climate, debug=debug, timing=timer)
 
     # ── climate helper ───────────────────────────────────────────────
@@ -284,7 +373,7 @@ class PlanetEngine:
         if self._w is None:
             raise RuntimeError("No retained state for reapply")
         w = self._w
-        timer = StageTimer()
+        timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         params = w["params"]
         if sculpt:
@@ -295,7 +384,8 @@ class PlanetEngine:
         with timer.stage("Terrain post-processing", sync=lambda: elevation):
             elevation, erosion_delta = run_post_processing(
                 w["g"], w["pre_post"], w["seed"], dataclasses.asdict(params),
-                hotspot=w.get("hotspot"))
+                hotspot=w.get("hotspot"),
+                avg_edge=math.pi / math.sqrt(w["graph"].n_cells), warp_t=w.get("warp_t"))
         w["elevation_final"] = elevation
 
         debug = dict(erosionDelta=erosion_delta)
@@ -335,7 +425,7 @@ class PlanetEngine:
         if self._w is None:
             raise RuntimeError("No retained state for edit_recompute")
         w = self._w
-        timer = StageTimer()
+        timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         params = w["params"]
         graph, g, seed = w["graph"], w["g"], w["seed"]
@@ -348,11 +438,25 @@ class PlanetEngine:
         assign_plate_densities(plates)
 
         super_sp = None
+        coarse = w.get("coarse")
         if plates.num_plates >= 8:
             with timer.stage("Super plates"):
-                super_sp = build_super_plates(
-                    graph, np.asarray(w["r_plate"])[: graph.n_cells], plates)
+                if coarse is not None:
+                    super_sp = build_super_plates(
+                        coarse.graph, coarse.r_plate, plates)
+                else:  # imported planets have no coarse map
+                    super_sp = build_super_plates(
+                        graph, np.asarray(w["r_plate"])[: graph.n_cells],
+                        plates)
         w["super_sp"] = super_sp
+
+        # toggled ocean/land flips hotspot ocean boosts → rebuild domes
+        domes = noise_pack = None
+        if coarse is not None:
+            with timer.stage("Hotspot domes"):
+                domes, noise_pack, _ = _host_prologue(
+                    graph, coarse, plates, seed, params.n_plates)
+                w["noise_pack"] = noise_pack
 
         prog(0, "Rebuilding elevation…")
         with timer.stage("Elevation", sync=lambda: elev_res.elevation):
@@ -370,14 +474,15 @@ class PlanetEngine:
             elev_res = assign_elevation(
                 g, w["r_plate"], p_ocean, p_pole, p_omega, p_dens,
                 seed=seed, noise_mag=params.roughness, spread=params.spread,
-                **kw)
+                noise_pack=noise_pack, domes=domes, **kw)
         pre_post = elev_res.elevation
 
         prog(50, "Eroding terrain…")
         with timer.stage("Terrain post-processing", sync=lambda: elevation):
             elevation, erosion_delta = run_post_processing(
                 g, pre_post, seed, dataclasses.asdict(params),
-                hotspot=elev_res.debug.get("hotspot"))
+                hotspot=elev_res.debug.get("hotspot"),
+                avg_edge=math.pi / math.sqrt(graph.n_cells), warp_t=w.get("warp_t"))
         debug = dict(elev_res.debug)
         debug["erosionDelta"] = erosion_delta
 
@@ -420,7 +525,7 @@ class PlanetEngine:
         if self._w is None:
             raise RuntimeError("No retained state for compute_climate")
         w = self._w
-        timer = StageTimer()
+        timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         params = w["params"]
         if temperature_offset is not None:
@@ -471,7 +576,7 @@ class PlanetEngine:
                          on_progress: Optional[Callable] = None) -> PlanetResult:
         """Equirect grayscale → mesh sampling → post → synthetic plates →
         climate (js/planet-worker.js:679-942)."""
-        timer = StageTimer()
+        timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         seed = params.seed
         skip_climate = params.skip_climate

@@ -1,0 +1,184 @@
+"""Fused production pipeline — the whole device side of ``generate`` as ONE
+jitted program.
+
+The staged path (engine.py) dispatches ~40 kernels per planet; on a
+high-latency backend (remote TPU) per-dispatch overhead dominates wall
+clock. Here project → smooth → elevation → erosion → climate trace into a
+single XLA program: one dispatch, one final sync, full cross-stage fusion
+and buffer reuse. The reference's analog is the single
+``handleGenerate`` worker message covering the same span
+(js/planet-worker.js:136-339).
+
+Staticness contract: everything structure-shaping is baked per
+:class:`FusedSpec` (cell count via shapes, plate count, erosion iteration
+counts, band widths derived from N, skip flags) and the compiled program is
+cached per spec — while everything *seed-derived* flows in as traced arrays
+(noise tables, domes, plate properties, hash salt), so sweeping seeds never
+retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationParams
+from ..mesh.device import DeviceGraph
+from ..ops.graph import majority_smooth, connected_components, flood_assign
+from ..elevation import assign_elevation
+from ..erosion import run_post_processing
+from ..climate import (compute_wind, compute_ocean_currents,
+                       compute_precipitation, compute_temperature,
+                       classify_koppen)
+
+
+def smooth_and_reconnect(g: DeviceGraph, r_plate, num_p: int, num_passes=3):
+    """Hi-res plate smoothing + reconnection on device (the reference runs
+    smoothAndReconnectPlates on the projected map, js/planet-worker.js:173).
+    Seed protection is a no-op after projection (js/plates.js:246-250).
+    ``num_p`` is the host-known plate count (keeps the stage sync-free)."""
+    protect = jnp.zeros(g.n_padded, bool)
+    r_plate = majority_smooth(r_plate, g.nbr_idx, g.nbr_mask, protect,
+                              num_passes=num_passes)
+
+    same = (r_plate[g.nbr_idx] == r_plate[:, None])
+    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    n = g.n_padded
+    sizes = jax.ops.segment_sum(
+        g.valid.astype(jnp.int32), labels, num_segments=n)
+    comp_size = sizes[labels]
+    max_per_plate = jax.ops.segment_max(
+        jnp.where(g.valid, comp_size, 0), r_plate, num_segments=num_p)
+    is_max = comp_size == max_per_plate[r_plate]
+    # tie-break toward the smallest label
+    min_tied = jax.ops.segment_min(
+        jnp.where(is_max & g.valid, labels, n), r_plate, num_segments=num_p)
+    in_main = is_max & (labels == min_tied[r_plate]) & g.valid
+    val, _ = flood_assign(r_plate, in_main, g.nbr_idx, g.nbr_mask)
+    return jnp.where(g.valid, val, r_plate).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSpec:
+    """Hashable static configuration of one fused compile. ``params`` is
+    normalized (seed=0, toggles=()) so seed sweeps and plate edits share the
+    same executable."""
+
+    params: GenerationParams
+    num_plates: int
+    has_super: bool
+    has_domes: bool
+    n_lat: int                      # coarse geobins grid dims (projection)
+    n_lon: int
+    skip_climate: bool
+
+    @staticmethod
+    def of(params: GenerationParams, num_plates: int, has_super: bool,
+           has_domes: bool, n_lat: int, n_lon: int,
+           skip_climate: bool) -> "FusedSpec":
+        return FusedSpec(
+            params=params.replace(seed=0, toggled_indices=(),
+                                  skip_climate=None),
+            num_plates=num_plates, has_super=has_super, has_domes=has_domes,
+            n_lat=n_lat, n_lon=n_lon, skip_climate=skip_climate)
+
+
+def _pipeline(spec: FusedSpec, g: DeviceGraph, proj, plate, sup,
+              domes: Dict, nt: Dict, warp_t, climate_t, triangles, seed32):
+    """The traced body. All array args are seed-dependent; ``spec`` is the
+    static shape/config key."""
+    from ..tectonics.coarse import _project_kernel
+    from ..ops.noise import _GRAD_J
+
+    p = spec.params
+    n = g.n_cells
+    avg_edge_nom = math.pi / math.sqrt(n)
+
+    perm, pm12, perturb_amp, bins_idx, bins_mask, bins_points, coarse_plate = proj
+    r_plate = _project_kernel(
+        g.pos, perm, pm12, _GRAD_J, perturb_amp,
+        bins_idx, bins_mask, bins_points, coarse_plate,
+        spec.n_lat, spec.n_lon)
+    r_plate = smooth_and_reconnect(g, r_plate, spec.num_plates, 3)
+
+    p_ocean, p_pole, p_omega, p_dens = plate
+    kw = {}
+    if spec.has_super:
+        plate_to_super, s_ocean, s_pole, s_omega, s_dens = sup
+        kw = dict(r_super_plate=plate_to_super[r_plate],
+                  super_is_ocean=s_ocean, super_pole=s_pole,
+                  super_omega=s_omega, super_density=s_dens)
+    elev_res = assign_elevation(
+        g, r_plate, p_ocean, p_pole, p_omega, p_dens,
+        seed=seed32, noise_mag=p.roughness, spread=p.spread,
+        noise_pack=nt, domes=domes if spec.has_domes else {}, **kw)
+
+    pdict = dataclasses.asdict(p)
+    elevation, erosion_delta = run_post_processing(
+        g, elev_res.elevation, 0, pdict,
+        hotspot=elev_res.debug.get("hotspot"),
+        avg_edge=avg_edge_nom, warp_t=warp_t)
+
+    debug = dict(elev_res.debug)
+    debug["erosionDelta"] = erosion_delta
+
+    out = dict(
+        r_plate=r_plate,
+        pre_post=elev_res.elevation,
+        elevation=elevation,
+        stress=elev_res.stress,
+        mountain=elev_res.mountain,
+        coastline=elev_res.coastline,
+        ocean_seeds=elev_res.ocean_seeds,
+        t_elevation=jnp.mean(elevation[triangles], axis=1),
+        climate=None,
+    )
+
+    if not spec.skip_climate:
+        wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t)
+        ocean = compute_ocean_currents(g, elevation, wind)
+        precip = compute_precipitation(
+            g, elevation, wind, ocean,
+            p.precipitation_offset, p.land_coverage)
+        temp = compute_temperature(
+            g, elevation, wind, ocean, precip, p.temperature_offset)
+        koppen = classify_koppen(
+            elevation, temp["r_temperature_summer"],
+            temp["r_temperature_winter"], precip["r_precip_summer"],
+            precip["r_precip_winter"])
+        out["climate"] = dict(wind=wind, ocean=ocean, precip=precip,
+                              temp=temp, koppen=koppen)
+        debug.update(
+            pressureSummer=wind["r_pressure_summer"],
+            pressureWinter=wind["r_pressure_winter"],
+            windSpeedSummer=wind["r_wind_speed_summer"],
+            windSpeedWinter=wind["r_wind_speed_winter"],
+            continentality=wind["r_continentality"],
+            precipSummer=precip["r_precip_summer"],
+            precipWinter=precip["r_precip_winter"],
+            rainShadowSummer=precip["r_rainshadow_summer"],
+            rainShadowWinter=precip["r_rainshadow_winter"],
+            tempSummer=temp["r_temperature_summer"],
+            tempWinter=temp["r_temperature_winter"],
+            koppen=koppen,
+        )
+    out["debug"] = debug
+    return out
+
+
+_CACHE: Dict[FusedSpec, object] = {}
+
+
+def fused_pipeline(spec: FusedSpec):
+    """The jitted single-dispatch pipeline for one static spec (cached)."""
+    fn = _CACHE.get(spec)
+    if fn is None:
+        import functools
+        fn = jax.jit(functools.partial(_pipeline, spec))
+        _CACHE[spec] = fn
+    return fn

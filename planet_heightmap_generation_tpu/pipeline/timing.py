@@ -13,15 +13,22 @@ import jax
 
 
 class StageTimer:
-    def __init__(self):
+    """``sync_enabled=False`` (the production default) turns per-stage
+    ``block_until_ready`` into no-ops: stages record enqueue time only and
+    the device pipeline runs gap-free with a single final sync. Enable it
+    (engine ``timing=True`` / CLI) to get true per-stage device timings at
+    the cost of a host round trip between stages."""
+
+    def __init__(self, sync_enabled: bool = True):
         self.stages: List[Tuple[str, float]] = []
+        self.sync_enabled = sync_enabled
         self._t0 = time.perf_counter()
 
     @contextmanager
     def stage(self, name: str, sync=None):
         t0 = time.perf_counter()
         yield
-        if sync is not None:
+        if sync is not None and self.sync_enabled:
             jax.block_until_ready(sync() if callable(sync) else sync)
         self.stages.append((name, (time.perf_counter() - t0) * 1000.0))
 

@@ -98,21 +98,68 @@ def _project_kernel(pos, perm, pm12, grad, perturb_amp,
     return coarse_plate_of_cell[nearest]
 
 
-def project_coarse_plates(graph: SphereGraph, coarse: CoarsePlates,
-                          seed: int, num_plates: int) -> jax.Array:
-    """Project coarse plate slots onto the hi-res mesh (device kernel)."""
+def project_points_host(coarse: CoarsePlates, seed: int, num_plates: int,
+                        pts: np.ndarray) -> np.ndarray:
+    """Host mirror of :func:`_project_kernel` for a handful of points
+    (hotspot centers): FBM-warp each point with the same seed+999 tables,
+    then brute-force nearest coarse cell. Keeps the device pipeline free of
+    mid-pipeline [N] device→host reads. Differs from the device map only by
+    f64-vs-f32 noise rounding and the hi-res majority smoothing — both at
+    plate boundaries only."""
+    from ..ops.noise import make_perm_tables, noise3_np
+
+    perm, pm12 = make_perm_tables(seed + 999)
+    coarse_edge_rad = np.pi / np.sqrt(coarse.graph.n_cells)
+    low_t = _low_plate_t(num_plates)
+    amp = coarse_edge_rad * (1.5 + 1.0 * low_t)
+
+    pts = np.asarray(pts, np.float64).reshape(-1, 3)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    dx = np.zeros_like(x)
+    dy = np.zeros_like(x)
+    dz = np.zeros_like(x)
+    freq = 8.0
+    a = amp
+    for _ in range(4):
+        dx = dx + noise3_np(perm, pm12, x * freq, y * freq, z * freq) * a
+        dy = dy + noise3_np(perm, pm12, x * freq + 100, y * freq + 100,
+                            z * freq + 100) * a
+        dz = dz + noise3_np(perm, pm12, x * freq + 200, y * freq + 200,
+                            z * freq + 200) * a
+        a *= 0.5
+        freq *= 2.0
+    q = np.stack([x + dx, y + dy, z + dz], axis=1)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    coarse_pts = coarse.graph.pos[: coarse.graph.n_cells]
+    nearest = np.argmax(q @ coarse_pts.T, axis=1)
+    return coarse.r_plate[nearest].astype(np.int32)
+
+
+def projection_inputs(coarse: CoarsePlates, seed: int, num_plates: int):
+    """The seed/coarse-derived traced inputs of :func:`_project_kernel`
+    (noise tables, warp amplitude, geobins, coarse plate map) — built once
+    on host so the projection can run inside a fused jit."""
     noise = SimplexNoise(seed + 999)
     coarse_edge_rad = np.pi / np.sqrt(coarse.graph.n_cells)
     low_t = _low_plate_t(num_plates)
     perturb_amp = coarse_edge_rad * (1.5 + 1.0 * low_t)
-
-    return _project_kernel(
-        jnp.asarray(graph.pos),
-        noise.perm, noise.pm12, noise.grad,
-        jnp.float32(perturb_amp),
+    return (
+        noise.perm, noise.pm12, jnp.float32(perturb_amp),
         jnp.asarray(coarse.bins.cand_idx),
         jnp.asarray(coarse.bins.cand_mask),
         jnp.asarray(coarse.bins.points),
         jnp.asarray(coarse.r_plate.astype(np.int32)),
+    )
+
+
+def project_coarse_plates(graph: SphereGraph, coarse: CoarsePlates,
+                          seed: int, num_plates: int) -> jax.Array:
+    """Project coarse plate slots onto the hi-res mesh (device kernel)."""
+    from ..ops.noise import _GRAD_J
+
+    perm, pm12, amp, bi, bm, bp, cp = projection_inputs(coarse, seed, num_plates)
+    return _project_kernel(
+        jnp.asarray(graph.pos), perm, pm12, _GRAD_J, amp, bi, bm, bp, cp,
         coarse.bins.n_lat, coarse.bins.n_lon,
     )

@@ -21,6 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Default engines to the staged path in tests: the fused production path
+# compiles one big XLA program per unique GenerationParams spec, which on the
+# CPU test backend costs minutes per test. The fused path itself is covered
+# explicitly by tests/test_fused.py (PlanetEngine(timing=False)).
+os.environ.setdefault("PLANET_TIMING", "1")
+
 import jax  # noqa: E402
 
 # sitecustomize may have imported jax already; update the live config

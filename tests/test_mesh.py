@@ -86,3 +86,17 @@ def test_avg_edge_scales():
     a = build_sphere(1000, 0.5, seed=1.0)
     b = build_sphere(4000, 0.5, seed=1.0)
     assert a.avg_edge > b.avg_edge * 1.7  # ~2x for 4x cells
+
+
+def test_adjacency_symmetric():
+    """K_FIXED truncation must drop edges in BOTH directions: asymmetric
+    adjacency creates mass in proportional-share transport (advisor r1)."""
+    for n, seed in ((2000, 3.0), (5000, 11.0)):
+        g = build_sphere(n, 0.75, seed=seed)
+        edges = set()
+        for v in range(g.n_cells):
+            for k in range(g.k_max):
+                if g.nbr_mask[v, k]:
+                    edges.add((v, int(g.nbr_idx[v, k])))
+        for a, b in edges:
+            assert (b, a) in edges, f"edge {a}->{b} has no reverse"
