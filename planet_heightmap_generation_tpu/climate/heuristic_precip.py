@@ -57,15 +57,12 @@ def heuristic_wind_field(lat, lon, itcz_lats):
     return heuristic_wind(dist_deg, hemi)
 
 
-@partial(jax.jit, static_argnames=("wc_passes", "smooth_passes", "is_summer"))
-def heuristic_precip_season(pos, lat, lon, elev, is_land, continentality,
-                            coast_dist_land, elev_grad_e, elev_grad_n,
-                            east, itcz_lats, nbr_idx, nbr_mask,
-                            avg_edge_km: float, wc_passes: int,
-                            smooth_passes: int, is_summer: bool):
-    """One season of the heuristic model (js/heuristic-precip.js:119-266)."""
-    # west-coast signal: +1 west coast, -1 east coast, diffused ~300 km
-    # through land (js/heuristic-precip.js:128-166)
+@partial(jax.jit, static_argnames=("wc_passes",))
+def west_coast_signal(pos, is_land, coast_dist_land, east, nbr_idx, nbr_mask,
+                      wc_passes: int):
+    """West-coast signal: +1 west coast, -1 east coast, diffused ~300 km
+    through land (js/heuristic-precip.js:128-166). Season-independent, so
+    computed once and shared between the two seasonal evaluations."""
     ocean_nb = (~is_land)[nbr_idx] & nbr_mask
     d = pos[nbr_idx] - pos[:, None, :]
     ocean_dot_east = jnp.sum(
@@ -79,7 +76,32 @@ def heuristic_precip_season(pos, lat, lon, elev, is_land, continentality,
         s = west_coast + jnp.sum(jnp.where(ok, west_coast[nbr_idx], 0.0), axis=1)
         c = 1 + jnp.sum(ok, axis=1)
         west_coast = jnp.where(is_land, s / c, 0.0)
+    return west_coast.astype(jnp.float32)
 
+
+@partial(jax.jit, static_argnames=("wc_passes", "smooth_passes", "is_summer"))
+def heuristic_precip_season(pos, lat, lon, elev, is_land, continentality,
+                            coast_dist_land, elev_grad_e, elev_grad_n,
+                            east, itcz_lats, nbr_idx, nbr_mask,
+                            avg_edge_km: float, wc_passes: int,
+                            smooth_passes: int, is_summer: bool):
+    """One season of the heuristic model (js/heuristic-precip.js:119-266)."""
+    west_coast = west_coast_signal(pos, is_land, coast_dist_land, east,
+                                   nbr_idx, nbr_mask, wc_passes)
+    raw = heuristic_precip_raw(lat, lon, elev, is_land, continentality,
+                               coast_dist_land, elev_grad_e, elev_grad_n,
+                               west_coast, itcz_lats,
+                               avg_edge_km, is_summer)
+    return smooth_field(raw, nbr_idx, nbr_mask, smooth_passes)
+
+
+@partial(jax.jit, static_argnames=("is_summer",))
+def heuristic_precip_raw(lat, lon, elev, is_land, continentality,
+                         coast_dist_land, elev_grad_e, elev_grad_n,
+                         west_coast, itcz_lats,
+                         avg_edge_km: float, is_summer: bool):
+    """Per-cell heuristic stack before the final smoothing — pure map, no
+    gathers; the caller smooths both seasons stacked."""
     itcz_lat = itcz_lookup(itcz_lats, lon) * 0.3
     signed = lat - itcz_lat
     dist_deg = jnp.abs(signed) / DEG
@@ -116,6 +138,4 @@ def heuristic_precip_season(pos, lat, lon, elev, is_land, continentality,
         jnp.maximum(0.03, 1 - smoothstep(2000.0, 3000.0, dist_km)), 1.0)
 
     precip = jnp.maximum(0.05, zonal * season_mod * cont_mod * oro * dist_mod)
-    precip = smooth_field(precip.astype(jnp.float32), nbr_idx, nbr_mask,
-                          smooth_passes)
-    return precip
+    return precip.astype(jnp.float32)

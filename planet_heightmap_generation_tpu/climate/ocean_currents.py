@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
-from ..ops.graph import bfs_hops
+from ..ops.graph import bfs_hops_multi
 from .util import smoothstep, smooth_masked, percentile, itcz_lookup
 
 DEG = math.pi / 180.0
@@ -122,12 +122,15 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict) -> Dict:
         g.pos, is_ocean, wind["r_east"], g.nbr_idx, g.nbr_mask)
 
     barrier = ~is_ocean
-    d_all = bfs_hops(coast, barrier, g.nbr_idx, g.nbr_mask)
-    d_west = bfs_hops(west, barrier, g.nbr_idx, g.nbr_mask)
-    d_east = bfs_hops(east_c, barrier, g.nbr_idx, g.nbr_mask)
+    # the three coast distance fields relax together ([N,3], one gather/sweep)
+    d3 = bfs_hops_multi(
+        jnp.stack([coast, west, east_c], 1),
+        jnp.stack([barrier, barrier, barrier], 1),
+        g.nbr_idx, g.nbr_mask)
+    d_all = d3[:, 0]
     # convert inf → -1 convention of the reference
-    d_west = jnp.where(jnp.isfinite(d_west), d_west, -1.0)
-    d_east = jnp.where(jnp.isfinite(d_east), d_east, -1.0)
+    d_west = jnp.where(jnp.isfinite(d3[:, 1]), d3[:, 1], -1.0)
+    d_east = jnp.where(jnp.isfinite(d3[:, 2]), d3[:, 2], -1.0)
 
     circ_nh = _circumpolar(lat, lon, is_ocean, g.valid, 60 * DEG, 5 * DEG)
     circ_sh = _circumpolar(lat, lon, is_ocean, g.valid, -60 * DEG, 5 * DEG)
@@ -137,27 +140,32 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict) -> Dict:
     smooth_passes = max(2, round(125 / avg_edge_km))
     warmth_passes = max(3, round(900 / avg_edge_km))
 
-    result = {}
+    cur_l, warm_l = [], []
     for name, shift in (("summer", 5.0), ("winter", -5.0)):
         itcz_lats = wind[f"itcz_lats_{name}"]
         cur_e, cur_n = _season_vectors(
             lat, lon, is_ocean, itcz_lats, d_west, d_east,
             circ_nh, circ_sh, jnp.float32(coast_threshold), jnp.float32(shift))
-        cur_e = smooth_masked(cur_e, is_ocean, g.nbr_idx, g.nbr_mask, smooth_passes)
-        cur_n = smooth_masked(cur_n, is_ocean, g.nbr_idx, g.nbr_mask, smooth_passes)
-        cur_e = jnp.where(is_ocean, cur_e, 0.0)
-        cur_n = jnp.where(is_ocean, cur_n, 0.0)
+        cur_l += [cur_e, cur_n]
+        warm_l.append(_classify_warmth(
+            is_ocean, lat, d_west, d_east,
+            jnp.float32(warmth_range), jnp.float32(shift)))
 
-        warmth = _classify_warmth(is_ocean, lat, d_west, d_east,
-                                  jnp.float32(warmth_range), jnp.float32(shift))
-        warmth = smooth_masked(warmth, is_ocean, g.nbr_idx, g.nbr_mask, warmth_passes)
+    # both seasons' vectors (and warmths) smooth stacked — one gather/pass
+    cur4 = smooth_masked(jnp.stack(cur_l, 1), is_ocean,
+                         g.nbr_idx, g.nbr_mask, smooth_passes)
+    cur4 = jnp.where(is_ocean[:, None], cur4, 0.0)
+    warm2 = smooth_masked(jnp.stack(warm_l, 1), is_ocean,
+                          g.nbr_idx, g.nbr_mask, warmth_passes)
 
+    result = {}
+    for s, name in enumerate(("summer", "winter")):
+        cur_e, cur_n = cur4[:, 2 * s], cur4[:, 2 * s + 1]
         speed = jnp.sqrt(cur_e * cur_e + cur_n * cur_n)
         p95 = percentile(speed, 0.95, is_ocean & (speed > 0))
         speed = jnp.minimum(1.0, speed / p95)
-
         result[f"r_ocean_current_east_{name}"] = cur_e
         result[f"r_ocean_current_north_{name}"] = cur_n
         result[f"r_ocean_speed_{name}"] = speed.astype(jnp.float32)
-        result[f"r_ocean_warmth_{name}"] = warmth
+        result[f"r_ocean_warmth_{name}"] = warm2[:, s]
     return result

@@ -4,8 +4,13 @@ propagation, blended 50-50 with the heuristic zonal model.
 Re-design of reference js/precipitation.js. The advection and shadow loops
 are directed propagation sweeps: the wind-alignment weights are
 loop-invariant, so they are computed once as [N,K] arrays and each sweep is
-a masked weighted gather under ``lax.fori_loop`` — ~100 full-mesh passes per
-season in the reference become fused VPU iterations here.
+a masked weighted gather — ~100 full-mesh passes per season in the
+reference become fused VPU iterations here.
+
+Both seasons run STACKED ([N,2] fields, [N,K,2] weights): TPU gathers with
+arbitrary indices are index-processing bound, so two seasons through one
+gather cost about the same as one. The rain-shadow stage goes further and
+stacks {shadow, windward} × {summer, winter} into a single [N,4] sweep.
 """
 
 from __future__ import annotations
@@ -20,119 +25,129 @@ import jax.numpy as jnp
 from ..mesh.device import DeviceGraph
 from .util import (smoothstep, smooth_field, percentile, elev_to_height_km,
                    itcz_lookup, compute_gradients)
-from .heuristic_precip import heuristic_wind_field, heuristic_precip_season
+from .heuristic_precip import (heuristic_wind_field, heuristic_precip_raw,
+                               west_coast_signal)
 
 DEG = math.pi / 180.0
 
 
 @jax.jit
-def _wind_convergence(pos, wind3d, nbr_idx, nbr_mask):
-    """Net inward flux (js/precipitation.js:19-52)."""
-    d = pos[nbr_idx] - pos[:, None, :]
-    w_sum = wind3d[nbr_idx] + wind3d[:, None, :]
-    conv = -jnp.sum(jnp.where(nbr_mask[:, :, None], w_sum * d, 0.0), axis=(1, 2))
-    cnt = jnp.maximum(1, jnp.sum(nbr_mask, axis=1))
+def _wind_convergence2(pos, wind3d2, nbr_idx, nbr_mask):
+    """Net inward flux per season (js/precipitation.js:19-52). [N,2]."""
+    d = pos[nbr_idx] - pos[:, None, :]                      # [N,K,3]
+    w_sum = wind3d2[nbr_idx] + wind3d2[:, None]             # [N,K,2,3]
+    conv = -jnp.sum(
+        jnp.where(nbr_mask[:, :, None, None], w_sum * d[:, :, None, :], 0.0),
+        axis=(1, 3))
+    cnt = jnp.maximum(1, jnp.sum(nbr_mask, axis=1))[:, None]
     return (conv / cnt).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("max_hops",))
-def _advect_moisture(pos, height_km, is_land, wind3d, ocean_warmth,
-                     coast_dist_land, nbr_idx, nbr_mask, max_hops: int):
-    """Upwind moisture advection (js/precipitation.js:59-182)."""
-    n = pos.shape[0]
-
-    # seed moisture
+def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
+                      coast_dist_land, nbr_idx, nbr_mask, max_hops: int):
+    """Upwind moisture advection, both seasons stacked
+    (js/precipitation.js:59-182). wind3d2: [N,2,3]; warmth2: [N,2]."""
+    # seed moisture (season-independent geometry, per-season warmth)
     ocean_nb = (~is_land)[nbr_idx] & nbr_mask
     d_out = pos[nbr_idx] - pos[:, None, :]
     ocean_dir = jnp.sum(jnp.where(ocean_nb[:, :, None], d_out, 0.0), axis=1)
     ocean_cnt = jnp.sum(ocean_nb, axis=1)
-    warmth_avg = jnp.sum(jnp.where(ocean_nb, ocean_warmth[nbr_idx], 0.0), axis=1) \
-        / jnp.maximum(1, ocean_cnt)
-    wind_dot_ocean = jnp.einsum("nc,nc->n", wind3d, ocean_dir)
-    onshore = jnp.where(wind_dot_ocean < 0, 1.0, 0.25)
-    warmth_factor = 0.5 + 0.5 * jnp.clip(warmth_avg, -0.8, 1.0)
+    warmth_avg2 = (jnp.sum(jnp.where(ocean_nb[:, :, None],
+                                     warmth2[nbr_idx], 0.0), axis=1)
+                   / jnp.maximum(1, ocean_cnt)[:, None])
+    wind_dot_ocean2 = jnp.einsum("nsc,nc->ns", wind3d2, ocean_dir)
+    onshore2 = jnp.where(wind_dot_ocean2 < 0, 1.0, 0.25)
+    warmth_factor2 = 0.5 + 0.5 * jnp.clip(warmth_avg2, -0.8, 1.0)
     coast_seed = is_land & (coast_dist_land == 0) & (ocean_cnt > 0)
-    moisture = jnp.where(
-        ~is_land, 0.4 + 0.35 * jnp.maximum(0.0, ocean_warmth),
-        jnp.where(coast_seed, onshore * warmth_factor, 0.0)).astype(jnp.float32)
+    moisture2 = jnp.where(
+        (~is_land)[:, None], 0.4 + 0.35 * jnp.maximum(0.0, warmth2),
+        jnp.where(coast_seed[:, None], onshore2 * warmth_factor2,
+                  0.0)).astype(jnp.float32)
 
     # loop-invariant upwind weights: wind at nb pointing toward r
     d_in = pos[:, None, :] - pos[nbr_idx]
-    up_w = jnp.einsum("nkc,nkc->nk", wind3d[nbr_idx], d_in)
-    up_w = jnp.where(nbr_mask & (up_w > 0), up_w, 0.0)
-    up_sum = jnp.sum(up_w, axis=1)
-    has_up = up_sum > 0
+    up_w2 = jnp.einsum("nksc,nkc->nks", wind3d2[nbr_idx], d_in)
+    up_w2 = jnp.where(nbr_mask[:, :, None] & (up_w2 > 0), up_w2, 0.0)
+    up_sum2 = jnp.sum(up_w2, axis=1)                        # [N,2]
+    has_up2 = up_sum2 > 0
 
-    up_height = jnp.sum(up_w * height_km[nbr_idx], axis=1) / jnp.maximum(up_sum, 1e-20)
-    height_gain = jnp.maximum(0.0, height_km - up_height)
+    up_height2 = (jnp.sum(up_w2 * height_km[nbr_idx][:, :, None], axis=1)
+                  / jnp.maximum(up_sum2, 1e-20))
+    height_gain2 = jnp.maximum(0.0, height_km[:, None] - up_height2)
     depletion_base = 1 - 0.78 ** (1.0 / max_hops)
-    elev_depletion = jnp.minimum(0.8, height_gain * max_hops * 0.55)
-    retain = jnp.maximum(0.0, 1 - (depletion_base + elev_depletion))
+    elev_depletion2 = jnp.minimum(0.8, height_gain2 * max_hops * 0.55)
+    retain2 = jnp.maximum(0.0, 1 - (depletion_base + elev_depletion2))
 
-    wind_mag_ok = jnp.einsum("nc,nc->n", wind3d, wind3d) >= 1e-6
-    active = is_land & wind_mag_ok & has_up
+    wind_ok2 = jnp.einsum("nsc,nsc->ns", wind3d2, wind3d2) >= 1e-6
+    active2 = is_land[:, None] & wind_ok2 & has_up2
 
     def body(_, m):
-        incoming = jnp.sum(up_w * m[nbr_idx], axis=1) / jnp.maximum(up_sum, 1e-20)
-        carried = incoming * retain
-        return jnp.where(active, jnp.maximum(m, carried), m)
+        incoming = (jnp.sum(up_w2 * m[nbr_idx], axis=1)
+                    / jnp.maximum(up_sum2, 1e-20))
+        carried = incoming * retain2
+        return jnp.where(active2, jnp.maximum(m, carried), m)
 
-    return jax.lax.fori_loop(0, max_hops, body, moisture)
+    return jax.lax.fori_loop(0, max_hops, body, moisture2)
 
 
-@partial(jax.jit, static_argnames=("max_hops", "lee_hops", "is_summer"))
-def _mechanisms(lat, lon, elev, height_km, is_land, continentality,
-                coast_dist_land, moisture, convergence, pressure_dev,
-                wind_e, wind_n, elev_grad_e, elev_grad_n, itcz_lats,
-                avg_edge_rad, avg_edge_km, precipitation_offset,
-                land_coverage, max_hops: int, lee_hops: int, is_summer: bool):
-    """The per-cell mechanism stack (js/precipitation.js:307-487)."""
-    abs_lat = jnp.abs(lat) / DEG
-    p = moisture
+@partial(jax.jit, static_argnames=("max_hops", "lee_hops"))
+def _mechanisms2(lat, lon, elev, height_km, is_land, continentality,
+                 coast_dist_land, moisture2, convergence2, pressure_dev2,
+                 we2, wn2, elev_grad_e, elev_grad_n, dist_itcz2,
+                 avg_edge_rad, avg_edge_km, precipitation_offset,
+                 land_coverage, max_hops: int, lee_hops: int):
+    """The per-cell mechanism stack for both seasons
+    (js/precipitation.js:307-487). Column 0 = summer, 1 = winter."""
+    abs_lat = (jnp.abs(lat) / DEG)[:, None]
+    p = moisture2
 
     # (a) ITCZ uplift
-    itcz_lat = itcz_lookup(itcz_lats, lon)
-    dist_itcz = jnp.abs(lat - itcz_lat) / DEG
-    itcz_strength = smoothstep(15.0, 0.0, dist_itcz)
-    core = jnp.where(dist_itcz < 5, 1.5, 1.0)
-    p = jnp.where(dist_itcz < 15,
+    itcz_strength = smoothstep(15.0, 0.0, dist_itcz2)
+    core = jnp.where(dist_itcz2 < 5, 1.5, 1.0)
+    p = jnp.where(dist_itcz2 < 15,
                   p * (1 + itcz_strength * core) + itcz_strength * 0.3, p)
 
     # (b) convergence boost
-    conv_strength = jnp.minimum(1.0, (convergence / avg_edge_rad) * 0.055)
-    p = jnp.where(convergence > 0,
-                  p * (1 + conv_strength * 1.2) + conv_strength * moisture * 0.4, p)
+    conv_strength = jnp.minimum(1.0, (convergence2 / avg_edge_rad) * 0.055)
+    p = jnp.where(convergence2 > 0,
+                  p * (1 + conv_strength * 1.2)
+                  + conv_strength * moisture2 * 0.4, p)
 
     # (c) local orographic windward/lee
-    wdg = wind_e * elev_grad_e + wind_n * elev_grad_n
-    uplift = jnp.minimum(1.0, wdg * 15)
-    shadow = jnp.minimum(1.0, -wdg * 18)
-    oro_land = is_land & (elev > 0)
-    p = jnp.where(oro_land & (wdg > 0), p + uplift * 1.0, p)
-    p = jnp.where(oro_land & (wdg <= 0),
+    wdg2 = we2 * elev_grad_e[:, None] + wn2 * elev_grad_n[:, None]
+    uplift = jnp.minimum(1.0, wdg2 * 15)
+    shadow = jnp.minimum(1.0, -wdg2 * 18)
+    oro_land = (is_land & (elev > 0))[:, None]
+    p = jnp.where(oro_land & (wdg2 > 0), p + uplift * 1.0, p)
+    p = jnp.where(oro_land & (wdg2 <= 0),
                   p * jnp.maximum(0.02, 1 - shadow * 0.95), p)
 
     # (d) seasonal subtropical suppression + monsoon relief + pressure mod
-    in_local_summer = (lat >= 0) if is_summer else (lat < 0)
+    # column s is in local summer where its hemisphere matches the season
+    in_local_summer = jnp.stack([lat >= 0, lat < 0], axis=1)
     subtrop_center = jnp.where(in_local_summer, 30.0, 24.0)
     subtrop_width = jnp.where(in_local_summer, 16.0, 12.0)
     subtrop_peak = jnp.where(in_local_summer, 0.50, 0.30)
 
-    poleward_wind = jnp.where(lat >= 0, wind_n, -wind_n)
-    coast_dist = jnp.where(coast_dist_land >= 0, coast_dist_land, float(max_hops))
+    poleward_wind2 = jnp.where(lat[:, None] >= 0, wn2, -wn2)
+    coast_dist = jnp.where(coast_dist_land >= 0, coast_dist_land,
+                           float(max_hops))[:, None]
     coast_prox = 1 - smoothstep(0.0, max_hops * 0.4, coast_dist)
-    monsoon = smoothstep(0.0, 0.15, poleward_wind) * coast_prox
+    monsoon = smoothstep(0.0, 0.15, poleward_wind2) * coast_prox
     subtrop_peak = subtrop_peak * jnp.where(
-        is_land & in_local_summer & (poleward_wind > 0), 1 - monsoon * 0.7, 1.0)
+        is_land[:, None] & in_local_summer & (poleward_wind2 > 0),
+        1 - monsoon * 0.7, 1.0)
 
     subtrop_dist = jnp.abs(abs_lat - subtrop_center)
     lat_suppress = jnp.where(
         subtrop_dist < subtrop_width,
-        smoothstep(subtrop_width, jnp.zeros_like(subtrop_width), subtrop_dist) * subtrop_peak,
+        smoothstep(subtrop_width, jnp.zeros_like(subtrop_width),
+                   subtrop_dist) * subtrop_peak,
         0.0)
     pressure_mod = jnp.where(
-        pressure_dev > 0, smoothstep(0.0, 12.0, pressure_dev) * 0.25,
-        -smoothstep(0.0, 15.0, -pressure_dev) * 0.2)
+        pressure_dev2 > 0, smoothstep(0.0, 12.0, pressure_dev2) * 0.25,
+        -smoothstep(0.0, 15.0, -pressure_dev2) * 0.2)
     total_suppress = lat_suppress + pressure_mod
     p = jnp.where(total_suppress > 0,
                   p * jnp.maximum(0.05, 1 - total_suppress),
@@ -142,27 +157,31 @@ def _mechanisms(lat, lon, elev, height_km, is_land, continentality,
     polar = smoothstep(40.0, 70.0, abs_lat)
     inland_fade = 1 - smoothstep(0.0, float(max_hops), coast_dist)
     p = jnp.where(abs_lat > 40,
-                  (p + polar * 0.10 + polar * 0.20 * inland_fade) * (1 + polar * 0.15),
-                  p)
+                  (p + polar * 0.10 + polar * 0.20 * inland_fade)
+                  * (1 + polar * 0.15), p)
 
     # (f) continental dryness
-    cont = jnp.where(is_land, continentality, 0.0)
+    cont = jnp.where(is_land, continentality, 0.0)[:, None]
     p = jnp.where(cont > 0, p * jnp.maximum(0.03, 1 - cont * cont * 0.55), p)
 
     # (g) lee cyclogenesis
     p = p + jnp.where(
-        is_land & (height_km > 1.5) & (wdg < -0.01)
-        & (coast_dist_land >= 0) & (coast_dist_land < lee_hops),
-        0.15 * jnp.minimum(1.0, height_km / 5), 0.0)
+        is_land[:, None] & (height_km[:, None] > 1.5) & (wdg2 < -0.01)
+        & (coast_dist_land[:, None] >= 0)
+        & (coast_dist_land[:, None] < lee_hops),
+        0.15 * jnp.minimum(1.0, height_km[:, None] / 5), 0.0)
 
     # ocean baseline
-    hp_fade = jnp.where(pressure_dev > 0, smoothstep(0.0, 12.0, pressure_dev), 0.0)
-    p = jnp.where(~is_land, jnp.maximum(p, 0.15 * (1 - hp_fade)), p)
+    hp_fade = jnp.where(pressure_dev2 > 0,
+                        smoothstep(0.0, 12.0, pressure_dev2), 0.0)
+    p = jnp.where((~is_land)[:, None],
+                  jnp.maximum(p, 0.15 * (1 - hp_fade)), p)
 
     # (h) hard coast cutoff
-    dist_km = coast_dist_land * avg_edge_km
+    dist_km = (coast_dist_land * avg_edge_km)[:, None]
     fade = 1 - smoothstep(2000.0, 3000.0, dist_km)
-    p = jnp.where(is_land & (coast_dist_land > 0) & (dist_km > 2000),
+    p = jnp.where(is_land[:, None] & (coast_dist_land[:, None] > 0)
+                  & (dist_km > 2000),
                   p * jnp.maximum(0.03, fade), p)
 
     p = p * (1 + precipitation_offset * 0.5)
@@ -172,51 +191,55 @@ def _mechanisms(lat, lon, elev, height_km, is_land, continentality,
 
 
 @partial(jax.jit, static_argnames=("shadow_hops", "windward_hops"))
-def _rain_shadow(pos, elev, height_km, is_land, wind3d, wind_e, wind_n,
-                 elev_grad_e, elev_grad_n, nbr_idx, nbr_mask,
-                 shadow_hops: int, windward_hops: int):
-    """Rain-shadow diagnostic: seed on ≥0.8 km slopes, propagate shadow
-    downwind / windward rain upwind (js/precipitation.js:496-607)."""
-    wdg = wind_e * elev_grad_e + wind_n * elev_grad_n
-    h_scale = jnp.minimum(1.0, (height_km - 0.5) / 2.5)
-    seed_ok = is_land & (elev > 0) & (height_km >= 0.8)
-    seed = jnp.where(
-        seed_ok & (wdg > 0), jnp.minimum(1.0, wdg * 20) * h_scale,
-        jnp.where(seed_ok & (wdg < 0), -jnp.minimum(1.0, -wdg * 18) * h_scale,
+def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
+                  nbr_idx, nbr_mask, shadow_hops: int, windward_hops: int):
+    """Rain-shadow diagnostic for both seasons: seed on ≥0.8 km slopes,
+    propagate shadow downwind / windward rain upwind
+    (js/precipitation.js:496-607). {shadow, windward} × {summer, winter}
+    stack into ONE [N,4] sweep loop. Returns [N,2]."""
+    h_scale = jnp.minimum(1.0, (height_km - 0.5) / 2.5)[:, None]
+    seed_ok = (is_land & (elev > 0) & (height_km >= 0.8))[:, None]
+    seed2 = jnp.where(
+        seed_ok & (wdg2 > 0), jnp.minimum(1.0, wdg2 * 20) * h_scale,
+        jnp.where(seed_ok & (wdg2 < 0),
+                  -jnp.minimum(1.0, -wdg2 * 18) * h_scale,
                   0.0)).astype(jnp.float32)
 
     d_in = pos[:, None, :] - pos[nbr_idx]
-    up_w = jnp.einsum("nkc,nkc->nk", wind3d[nbr_idx], d_in)
-    up_w = jnp.where(nbr_mask & (up_w > 0) & is_land[:, None], up_w, 0.0)
-    dn_w = -jnp.einsum("nc,nkc->nk", wind3d, d_in)
-    dn_w = jnp.where(nbr_mask & (dn_w > 0) & is_land[:, None], dn_w, 0.0)
+    up_w2 = jnp.einsum("nksc,nkc->nks", wind3d2[nbr_idx], d_in)
+    up_w2 = jnp.where(nbr_mask[:, :, None] & (up_w2 > 0)
+                      & is_land[:, None, None], up_w2, 0.0)
+    dn_w2 = -jnp.einsum("nsc,nkc->nks", wind3d2, d_in)
+    dn_w2 = jnp.where(nbr_mask[:, :, None] & (dn_w2 > 0)
+                      & is_land[:, None, None], dn_w2, 0.0)
 
-    shadow_decay = 1 - 0.15 ** (1.0 / shadow_hops)
-    windward_decay = 1 - 0.25 ** (1.0 / windward_hops)
+    s_dec = 1 - 0.15 ** (1.0 / shadow_hops)
+    w_dec = 1 - 0.25 ** (1.0 / windward_hops)
 
-    def shadow_body(_, s):
-        vals = s[nbr_idx]
-        neg = jnp.where(vals < 0, vals, 0.0)
-        w = jnp.where(vals < 0, up_w, 0.0)
-        wsum = jnp.sum(w, axis=1)
-        carried = jnp.sum(neg * w, axis=1) / jnp.maximum(wsum, 1e-20) * (1 - shadow_decay)
-        return jnp.where(wsum > 0, jnp.minimum(s, carried), s)
+    f0 = jnp.concatenate([seed2, seed2], axis=1)            # [N,4]
+    w4 = jnp.concatenate([up_w2, dn_w2], axis=2)            # [N,K,4]
+    sign4 = jnp.asarray([-1.0, -1.0, 1.0, 1.0])
+    decay4 = jnp.asarray([s_dec, s_dec, w_dec, w_dec])
+    cap4 = jnp.asarray([shadow_hops, shadow_hops,
+                        windward_hops, windward_hops], jnp.int32)
 
-    shadow_f = jax.lax.fori_loop(0, shadow_hops, shadow_body, seed)
-    shadow_f = jnp.minimum(shadow_f, seed)
+    def body(i, s):
+        vals = s[nbr_idx]                                   # [N,K,4]
+        act = vals * sign4[None, None, :] > 0
+        sel = jnp.where(act, vals, 0.0)
+        w = jnp.where(act, w4, 0.0)
+        wsum = jnp.sum(w, axis=1)                           # [N,4]
+        carried = (jnp.sum(sel * w, axis=1)
+                   / jnp.maximum(wsum, 1e-20) * (1 - decay4)[None, :])
+        ext = jnp.where(sign4[None, :] < 0,
+                        jnp.minimum(s, carried), jnp.maximum(s, carried))
+        upd = (wsum > 0) & (i < cap4)[None, :]
+        return jnp.where(upd, ext, s)
 
-    def windward_body(_, s):
-        vals = s[nbr_idx]
-        pos_v = jnp.where(vals > 0, vals, 0.0)
-        w = jnp.where(vals > 0, dn_w, 0.0)
-        wsum = jnp.sum(w, axis=1)
-        carried = jnp.sum(pos_v * w, axis=1) / jnp.maximum(wsum, 1e-20) * (1 - windward_decay)
-        return jnp.where(wsum > 0, jnp.maximum(s, carried), s)
-
-    windward_f = jax.lax.fori_loop(0, windward_hops, windward_body, seed)
-    windward_f = jnp.maximum(windward_f, seed)
-
-    return jnp.where(shadow_f < 0, shadow_f, windward_f).astype(jnp.float32)
+    f = jax.lax.fori_loop(0, max(shadow_hops, windward_hops), body, f0)
+    shadow2 = jnp.minimum(f[:, :2], seed2)
+    windward2 = jnp.maximum(f[:, 2:], seed2)
+    return jnp.where(shadow2 < 0, shadow2, windward2).astype(jnp.float32)
 
 
 def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
@@ -249,58 +272,76 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     precip_passes = max(1, round(100 / avg_edge_km))
     wc_passes = max(2, round(300 / avg_edge_km))
 
-    result = {}
+    # per-season wind (50-50 blend with the heuristic zonal wind,
+    # js/precipitation.js:262-270), stacked [N,2]
+    we_l, wn_l, itcz_l = [], [], []
     for name in ("summer", "winter"):
-        is_summer = name == "summer"
         itcz_lats = wind[f"itcz_lats_{name}"]
-        warmth = ocean[f"r_ocean_warmth_{name}"]
-
-        # 50-50 blend with heuristic zonal wind (js/precipitation.js:262-270)
         h_we, h_wn = heuristic_wind_field(lat, lon, itcz_lats)
-        we = 0.5 * wind[f"r_wind_east_{name}"] + 0.5 * h_we
-        wn = 0.5 * wind[f"r_wind_north_{name}"] + 0.5 * h_wn
-        wind3d = we[:, None] * east + wn[:, None] * north
+        we_l.append(0.5 * wind[f"r_wind_east_{name}"] + 0.5 * h_we)
+        wn_l.append(0.5 * wind[f"r_wind_north_{name}"] + 0.5 * h_wn)
+        itcz_l.append(itcz_lookup(itcz_lats, lon))
+    we2 = jnp.stack(we_l, 1)
+    wn2 = jnp.stack(wn_l, 1)
+    dist_itcz2 = jnp.abs(lat[:, None] - jnp.stack(itcz_l, 1)) / DEG
+    wind3d2 = (we2[:, :, None] * east[:, None, :]
+               + wn2[:, :, None] * north[:, None, :])      # [N,2,3]
+    warmth2 = jnp.stack([ocean["r_ocean_warmth_summer"],
+                         ocean["r_ocean_warmth_winter"]], 1)
+    pressure2 = jnp.stack([wind["r_pressure_summer"],
+                           wind["r_pressure_winter"]], 1)
 
-        conv = _wind_convergence(g.pos, wind3d, g.nbr_idx, g.nbr_mask)
-        conv = smooth_field(conv, g.nbr_idx, g.nbr_mask, conv_passes)
+    conv2 = _wind_convergence2(g.pos, wind3d2, g.nbr_idx, g.nbr_mask)
+    conv2 = smooth_field(conv2, g.nbr_idx, g.nbr_mask, conv_passes)
 
-        moisture = _advect_moisture(g.pos, height_km, is_land, wind3d, warmth,
-                                    coast_dist, g.nbr_idx, g.nbr_mask, max_hops)
+    moisture2 = _advect_moisture2(g.pos, height_km, is_land, wind3d2,
+                                  warmth2, coast_dist, g.nbr_idx, g.nbr_mask,
+                                  max_hops)
 
-        precip = _mechanisms(
-            lat, lon, elev, height_km, is_land, cont, coast_dist,
-            moisture, conv, wind[f"r_pressure_{name}"], we, wn,
-            grad_e, grad_n, itcz_lats,
-            jnp.float32(avg_edge_rad), jnp.float32(avg_edge_km),
-            jnp.float32(precipitation_offset), jnp.float32(land_coverage),
-            max_hops, max(2, round(200 / avg_edge_km)), is_summer)
+    precip2 = _mechanisms2(
+        lat, lon, elev, height_km, is_land, cont, coast_dist,
+        moisture2, conv2, pressure2, we2, wn2, grad_e, grad_n, dist_itcz2,
+        jnp.float32(avg_edge_rad), jnp.float32(avg_edge_km),
+        jnp.float32(precipitation_offset), jnp.float32(land_coverage),
+        max_hops, max(2, round(200 / avg_edge_km)))
 
-        rs = _rain_shadow(g.pos, elev, height_km, is_land, wind3d, we, wn,
-                          grad_e, grad_n, g.nbr_idx, g.nbr_mask,
-                          shadow_hops, windward_hops)
-        rs = smooth_field(rs, g.nbr_idx, g.nbr_mask, rs_passes)
+    wdg2 = we2 * grad_e[:, None] + wn2 * grad_n[:, None]
+    rs2 = _rain_shadow2(g.pos, elev, height_km, is_land, wind3d2, wdg2,
+                        g.nbr_idx, g.nbr_mask, shadow_hops, windward_hops)
+    rs2 = smooth_field(rs2, g.nbr_idx, g.nbr_mask, rs_passes)
 
-        # apply propagated shadow (js/precipitation.js:616-627)
-        strength = jnp.minimum(1.0, -rs * 2.25)
-        precip = jnp.where(is_land & (rs < -0.01),
-                           precip * jnp.maximum(0.02, 1 - strength * 0.92), precip)
-        precip = jnp.where(is_land & (rs > 0.01), precip + rs * 1.2, precip)
+    # apply propagated shadow (js/precipitation.js:616-627)
+    strength = jnp.minimum(1.0, -rs2 * 2.25)
+    precip2 = jnp.where(is_land[:, None] & (rs2 < -0.01),
+                        precip2 * jnp.maximum(0.02, 1 - strength * 0.92),
+                        precip2)
+    precip2 = jnp.where(is_land[:, None] & (rs2 > 0.01),
+                        precip2 + rs2 * 1.2, precip2)
 
-        precip = smooth_field(precip, g.nbr_idx, g.nbr_mask, precip_passes)
+    precip2 = smooth_field(precip2, g.nbr_idx, g.nbr_mask, precip_passes)
 
-        # heuristic blend (js/precipitation.js:644-679)
-        heur = heuristic_precip_season(
-            g.pos, lat, lon, elev, is_land, cont, coast_dist,
-            grad_e, grad_n, east, itcz_lats, g.nbr_idx, g.nbr_mask,
-            avg_edge_km, wc_passes, precip_passes, is_summer)
-        blended = 0.5 * precip + 0.5 * heur
+    # heuristic blend (js/precipitation.js:644-679) — west-coast signal is
+    # season-independent (computed once); both seasons smooth stacked
+    west_coast = west_coast_signal(g.pos, is_land, coast_dist, east,
+                                   g.nbr_idx, g.nbr_mask, wc_passes)
+    heur2 = jnp.stack([
+        heuristic_precip_raw(lat, lon, elev, is_land, cont, coast_dist,
+                             grad_e, grad_n, west_coast,
+                             wind[f"itcz_lats_{name}"], avg_edge_km,
+                             name == "summer")
+        for name in ("summer", "winter")], 1)
+    heur2 = smooth_field(heur2, g.nbr_idx, g.nbr_mask, precip_passes)
+
+    blended2 = 0.5 * precip2 + 0.5 * heur2
+    cap = 1.0 - smoothstep(0.5, 1.0, cont) * 0.80
+
+    result = {}
+    for s, name in enumerate(("summer", "winter")):
+        blended = blended2[:, s]
         p95 = percentile(blended, 0.95, g.valid)
         blended = jnp.minimum(1.0, blended / p95)
-
-        cap = 1.0 - smoothstep(0.5, 1.0, cont) * 0.80
         blended = jnp.where(is_land & (cont > 0.5),
                             jnp.minimum(blended, cap), blended)
-
         result[f"r_precip_{name}"] = blended.astype(jnp.float32)
-        result[f"r_rainshadow_{name}"] = rs
+        result[f"r_rainshadow_{name}"] = rs2[:, s]
     return result

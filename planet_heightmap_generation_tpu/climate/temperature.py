@@ -23,15 +23,17 @@ T_MIN, T_MAX = -45.0, 45.0
 
 
 @partial(jax.jit, static_argnames=("passes",))
-def _diffuse_ocean_warmth(warmth, is_land, plate_cont, nbr_idx, nbr_mask,
+def _diffuse_ocean_warmth(warmth2, is_land, plate_cont, nbr_idx, nbr_mask,
                           passes: int):
     """js/temperature.js:19-54 — all cells diffuse except deep continental
-    interiors (plate continentality ≥ 0.95)."""
-    field = jnp.where(~is_land, warmth, 0.0).astype(jnp.float32)
-    frozen = plate_cont >= 0.95
+    interiors (plate continentality ≥ 0.95). Both seasons diffuse stacked
+    ([N,2], one index-bound gather per pass)."""
+    field = jnp.where((~is_land)[:, None], warmth2, 0.0).astype(jnp.float32)
+    frozen = (plate_cont >= 0.95)[:, None]
+    c = (1 + jnp.sum(nbr_mask, axis=1))[:, None]
     for _ in range(passes):
-        s = field + jnp.sum(jnp.where(nbr_mask, field[nbr_idx], 0.0), axis=1)
-        c = 1 + jnp.sum(nbr_mask, axis=1)
+        s = field + jnp.sum(
+            jnp.where(nbr_mask[:, :, None], field[nbr_idx], 0.0), axis=1)
         field = jnp.where(frozen, field, s / c)
     return field
 
@@ -97,18 +99,24 @@ def compute_temperature(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     cont = wind["r_continentality"]
     p_cont = wind["r_plate_continentality"]
 
-    result = {}
-    for name in ("summer", "winter"):
-        warmth = ocean[f"r_ocean_warmth_{name}"]
-        speed = ocean[f"r_ocean_speed_{name}"]
-        pr = precip[f"r_precip_{name}"]
-        coastal = _diffuse_ocean_warmth(warmth, is_land, p_cont,
-                                        g.nbr_idx, g.nbr_mask, warmth_passes)
+    warmth2 = jnp.stack([ocean["r_ocean_warmth_summer"],
+                         ocean["r_ocean_warmth_winter"]], 1)
+    coastal2 = _diffuse_ocean_warmth(warmth2, is_land, p_cont,
+                                     g.nbr_idx, g.nbr_mask, warmth_passes)
+
+    t_l = []
+    for s, name in enumerate(("summer", "winter")):
         T = _temperature_kernel(
             lat, lon, elev, is_land, cont, p_cont,
-            wind[f"itcz_lats_{name}"], warmth, speed, pr, coastal,
+            wind[f"itcz_lats_{name}"], warmth2[:, s],
+            ocean[f"r_ocean_speed_{name}"], precip[f"r_precip_{name}"],
+            coastal2[:, s],
             jnp.float32(temperature_offset), is_summer=(name == "summer"))
-        T = smooth_field(T, g.nbr_idx, g.nbr_mask, 1)
+        t_l.append(T)
+    t2 = smooth_field(jnp.stack(t_l, 1), g.nbr_idx, g.nbr_mask, 1)
+
+    result = {}
+    for s, name in enumerate(("summer", "winter")):
         result[f"r_temperature_{name}"] = jnp.clip(
-            (T - T_MIN) / (T_MAX - T_MIN), 0.0, 1.0).astype(jnp.float32)
+            (t2[:, s] - T_MIN) / (T_MAX - T_MIN), 0.0, 1.0).astype(jnp.float32)
     return result

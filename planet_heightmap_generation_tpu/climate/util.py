@@ -18,10 +18,18 @@ def smoothstep(e0, e1, x):
 
 @partial(jax.jit, static_argnames=("passes",))
 def smooth_field(field, nbr_idx, nbr_mask, passes: int):
-    """Laplacian smoothing incl. self (js/climate-util.js:5-25)."""
-    for _ in range(passes):
-        s = field + jnp.sum(jnp.where(nbr_mask, field[nbr_idx], 0.0), axis=1)
+    """Laplacian smoothing incl. self (js/climate-util.js:5-25).
+
+    ``field`` may be [N] or [N,F]: stacking independent fields (e.g. the two
+    seasons) amortizes the index-bound TPU gather — F fields cost ~one."""
+    if field.ndim == 2:
+        m = nbr_mask[:, :, None]
+        c = (1 + jnp.sum(nbr_mask, axis=1))[:, None]
+    else:
+        m = nbr_mask
         c = 1 + jnp.sum(nbr_mask, axis=1)
+    for _ in range(passes):
+        s = field + jnp.sum(jnp.where(m, field[nbr_idx], 0.0), axis=1)
         field = s / c
     return field.astype(jnp.float32)
 
@@ -29,12 +37,20 @@ def smooth_field(field, nbr_idx, nbr_mask, passes: int):
 @partial(jax.jit, static_argnames=("passes",))
 def smooth_masked(field, mask, nbr_idx, nbr_mask, passes: int):
     """Smoothing restricted to ``mask`` cells; others pass through but do
-    not contribute (js/ocean.js:168-189)."""
-    for _ in range(passes):
-        ok = nbr_mask & mask[nbr_idx]
-        s = field + jnp.sum(jnp.where(ok, field[nbr_idx], 0.0), axis=1)
+    not contribute (js/ocean.js:168-189). ``field`` may be [N] or [N,F]
+    (stacked fields share the index-bound gather)."""
+    ok = nbr_mask & mask[nbr_idx]
+    if field.ndim == 2:
+        c = (1 + jnp.sum(ok, axis=1))[:, None]
+        okx = ok[:, :, None]
+        maskx = mask[:, None]
+    else:
         c = 1 + jnp.sum(ok, axis=1)
-        field = jnp.where(mask, s / c, field)
+        okx = ok
+        maskx = mask
+    for _ in range(passes):
+        s = field + jnp.sum(jnp.where(okx, field[nbr_idx], 0.0), axis=1)
+        field = jnp.where(maskx, s / c, field)
     return field.astype(jnp.float32)
 
 
@@ -115,18 +131,28 @@ def itcz_lookup(itcz_lats, lon):
 
 @jax.jit
 def compute_gradients(pos, field, east, north, nbr_idx, nbr_mask):
-    """Per-axis least-squares tangent gradients (js/wind.js:306-339)."""
+    """Per-axis least-squares tangent gradients (js/wind.js:306-339).
+
+    ``field`` may be [N] or [N,F] (F independent fields share the geometry
+    terms and the index-bound gather)."""
     d = pos[nbr_idx] - pos[:, None, :]                     # [N, K, 3]
     de = jnp.einsum("nkc,nc->nk", d, east)
     dn = jnp.einsum("nkc,nc->nk", d, north)
-    dp = field[nbr_idx] - field[:, None]
     de = jnp.where(nbr_mask, de, 0.0)
     dn = jnp.where(nbr_mask, dn, 0.0)
-    dp = jnp.where(nbr_mask, dp, 0.0)
-    sum_ep = jnp.sum(de * dp, axis=1)
     sum_ee = jnp.sum(de * de, axis=1)
-    sum_np = jnp.sum(dn * dp, axis=1)
     sum_nn = jnp.sum(dn * dn, axis=1)
+    if field.ndim == 2:
+        dp = field[nbr_idx] - field[:, None, :]            # [N, K, F]
+        dp = jnp.where(nbr_mask[:, :, None], dp, 0.0)
+        sum_ep = jnp.sum(de[:, :, None] * dp, axis=1)      # [N, F]
+        sum_np = jnp.sum(dn[:, :, None] * dp, axis=1)
+        sum_ee = sum_ee[:, None]
+        sum_nn = sum_nn[:, None]
+    else:
+        dp = jnp.where(nbr_mask, field[nbr_idx] - field[:, None], 0.0)
+        sum_ep = jnp.sum(de * dp, axis=1)
+        sum_np = jnp.sum(dn * dp, axis=1)
     ge = jnp.where(sum_ee > 1e-12, sum_ep / jnp.maximum(sum_ee, 1e-20), 0.0)
     gn = jnp.where(sum_nn > 1e-12, sum_np / jnp.maximum(sum_nn, 1e-20), 0.0)
     return ge.astype(jnp.float32), gn.astype(jnp.float32)

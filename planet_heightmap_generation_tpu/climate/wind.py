@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, fbm
-from ..ops.graph import bfs_hops
+from ..ops.graph import bfs_hops_multi
 from ..erosion.flood import open_ocean_mask
 from .util import (GeoFrame, geo_frame, smoothstep, smooth_field,
                    percentile, elev_to_height_km, itcz_lookup,
@@ -206,27 +206,30 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     sp_summer = _build_periodic_spline(_itcz_latitudes(cnt, land_cnt, esum, 1.0))
     sp_winter = _build_periodic_spline(_itcz_latitudes(cnt, land_cnt, esum, -1.0))
 
-    # continentality: BFS from main-ocean coast through land (js/wind.js:476-554)
+    # continentality: BFS from main-ocean coast through land
+    # (js/wind.js:476-554) + the plate-based variant (:556-593) — the two
+    # distance fields relax together ([N,2], one gather per sweep)
     is_ocean_cell = (~is_land) & g.valid
     main_ocean = open_ocean_mask(is_ocean_cell, g.nbr_idx, g.nbr_mask, g.valid)
     coast_seeds = is_land & jnp.any(
         main_ocean[g.nbr_idx] & g.nbr_mask, axis=1)
-    coast_dist = bfs_hops(coast_seeds, ~is_land, g.nbr_idx, g.nbr_mask)
-    cont = jnp.where(
-        is_land & jnp.isfinite(coast_dist),
-        smoothstep(0.0, 2000.0, coast_dist * avg_edge_km), 0.0)
-    cont_passes = max(1, round(100 / avg_edge_km))
-    cont = smooth_field(cont.astype(jnp.float32), g.nbr_idx, g.nbr_mask, cont_passes)
-
-    # plate continentality (js/wind.js:556-593)
     plate_land = (~plate_is_ocean[r_plate]) & g.valid
     p_seeds = plate_land & jnp.any(
         (plate_is_ocean[r_plate][g.nbr_idx]) & g.nbr_mask, axis=1)
-    p_dist = bfs_hops(p_seeds, ~plate_land, g.nbr_idx, g.nbr_mask)
-    p_cont = jnp.where(
-        plate_land & jnp.isfinite(p_dist),
-        smoothstep(0.0, 2000.0, p_dist * avg_edge_km), 0.0)
-    p_cont = smooth_field(p_cont.astype(jnp.float32), g.nbr_idx, g.nbr_mask, cont_passes)
+    d2 = bfs_hops_multi(
+        jnp.stack([coast_seeds, p_seeds], 1),
+        jnp.stack([~is_land, ~plate_land], 1),
+        g.nbr_idx, g.nbr_mask)
+    coast_dist, p_dist = d2[:, 0], d2[:, 1]
+    cont2 = jnp.stack([
+        jnp.where(is_land & jnp.isfinite(coast_dist),
+                  smoothstep(0.0, 2000.0, coast_dist * avg_edge_km), 0.0),
+        jnp.where(plate_land & jnp.isfinite(p_dist),
+                  smoothstep(0.0, 2000.0, p_dist * avg_edge_km), 0.0),
+    ], axis=1).astype(jnp.float32)
+    cont_passes = max(1, round(100 / avg_edge_km))
+    cont2 = smooth_field(cont2, g.nbr_idx, g.nbr_mask, cont_passes)
+    cont, p_cont = cont2[:, 0], cont2[:, 1]
 
     result = dict(
         r_lat=gf.lat, r_lon=gf.lon, r_sin_lat=gf.sin_lat,
@@ -238,16 +241,20 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     )
 
     press_passes = max(1, round(75 / avg_edge_km))
-    for name, sp in (("summer", sp_summer), ("winter", sp_winter)):
-        pressure = _pressure_kernel(g.pos, gf, sp, cont, elev, noise_t,
-                                    is_summer=(name == "summer"))
-        pressure = smooth_field(pressure, g.nbr_idx, g.nbr_mask, press_passes)
-        ge, gn = compute_gradients(g.pos, pressure, gf.east, gf.north,
-                                   g.nbr_idx, g.nbr_mask)
-        we, wn, speed = _pressure_to_wind(ge, gn, gf.sin_lat)
+    # both seasons' pressure fields smooth + differentiate stacked
+    press2 = jnp.stack([
+        _pressure_kernel(g.pos, gf, sp_summer, cont, elev, noise_t,
+                         is_summer=True),
+        _pressure_kernel(g.pos, gf, sp_winter, cont, elev, noise_t,
+                         is_summer=False)], axis=1)
+    press2 = smooth_field(press2, g.nbr_idx, g.nbr_mask, press_passes)
+    ge2, gn2 = compute_gradients(g.pos, press2, gf.east, gf.north,
+                                 g.nbr_idx, g.nbr_mask)
+    for s, name in enumerate(("summer", "winter")):
+        we, wn, speed = _pressure_to_wind(ge2[:, s], gn2[:, s], gf.sin_lat)
         p95 = percentile(speed, 0.95, g.valid)
         speed = jnp.minimum(1.0, speed / p95)
-        result[f"r_pressure_{name}"] = pressure - 1013.0
+        result[f"r_pressure_{name}"] = press2[:, s] - 1013.0
         result[f"r_wind_east_{name}"] = we
         result[f"r_wind_north_{name}"] = wn
         result[f"r_wind_speed_{name}"] = speed

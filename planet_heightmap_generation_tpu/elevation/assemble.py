@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, tables, noise3, fbm, ridged_fbm
-from ..ops.graph import bfs_hops, carry_bfs, hash01
-from .collisions import CollisionResult, find_collisions, propagate_stress
+from ..ops.graph import bfs_hops_multi, band_bfs, hash01
+from .collisions import (CollisionResult, find_collisions,
+                         propagate_stress_multi)
 from .hotspots import build_domes, hotspot_uplift
 
 SMALL_W = 0.05   # js/elevation.js:254-255
@@ -481,24 +482,32 @@ def assign_elevation(
     else:
         col = small
 
-    # stress propagation (js/elevation.js:329-362)
+    # stress propagation (js/elevation.js:329-362) — small + super layers
+    # batched into one packed-gather sweep loop (TPU gathers are index-bound)
     base_decay = 0.5 + spread * 0.04
     decay = base_decay ** (1 / sf_res)
     sub_decay = (base_decay * 0.45) ** (1 / sf_res)
     num_passes = max(1, round(spread * 3 * sf_res))
 
+    same_plate = (r_plate[g.nbr_idx] == r_plate[:, None]) & g.nbr_mask
     if has_super:
-        s_stress, s_sf = propagate_stress(
-            small.stress, small.subduct, r_plate, plate_is_ocean,
-            g.nbr_idx, g.nbr_mask, decay, sub_decay, num_passes)
-        p_stress, p_sf = propagate_stress(
-            sup.stress, sup.subduct, r_super_plate, super_is_ocean,
-            g.nbr_idx, g.nbr_mask, decay, sub_decay, num_passes)
-        stress, subduct = _blend_propagated(s_stress, s_sf, p_stress, p_sf, col.subduct)
+        same_sup = ((r_super_plate[g.nbr_idx] == r_super_plate[:, None])
+                    & g.nbr_mask)
+        st2, sf2 = propagate_stress_multi(
+            jnp.stack([small.stress, sup.stress], 1),
+            jnp.stack([small.subduct, sup.subduct], 1),
+            jnp.stack([same_plate, same_sup], 2),
+            jnp.stack([plate_is_ocean[r_plate],
+                       super_is_ocean[r_super_plate]], 1),
+            g.nbr_idx, decay, sub_decay, num_passes)
+        stress, subduct = _blend_propagated(
+            st2[:, 0], sf2[:, 0], st2[:, 1], sf2[:, 1], col.subduct)
     else:
-        stress, subduct = propagate_stress(
-            col.stress, col.subduct, r_plate, plate_is_ocean,
-            g.nbr_idx, g.nbr_mask, decay, sub_decay, num_passes)
+        st2, sf2 = propagate_stress_multi(
+            col.stress[:, None], col.subduct[:, None],
+            same_plate[:, :, None], plate_is_ocean[r_plate][:, None],
+            g.nbr_idx, decay, sub_decay, num_passes)
+        stress, subduct = st2[:, 0], sf2[:, 0]
 
     mountain, coastline, ocean_seeds = col.mountain, col.coastline, col.ocean
 
@@ -516,23 +525,27 @@ def assign_elevation(
     def rand_cost(k):
         return 0.5 + hash01(idx, seed + k)
 
-    dist_mountain = bfs_hops(stress_mountain, ocean_seeds, g.nbr_idx, g.nbr_mask,
-                             rand_cost=rand_cost(1))
-    dist_ocean = bfs_hops(ocean_seeds, coastline, g.nbr_idx, g.nbr_mask,
-                          rand_cost=rand_cost(2))
-    dist_coastline = bfs_hops(coastline, stop_r, g.nbr_idx, g.nbr_mask,
-                              rand_cost=rand_cost(3))
-
     r_is_ocean = plate_is_ocean[r_plate] & g.valid
     nbr_ocean = r_is_ocean[g.nbr_idx]
     land_mask = (~r_is_ocean) & g.valid
     coast_seeds = r_is_ocean & jnp.any(land_mask[g.nbr_idx] & g.nbr_mask, axis=1)
     no_barrier = jnp.zeros(npad, bool)
-    dist_coast = bfs_hops(coast_seeds, no_barrier, g.nbr_idx, g.nbr_mask,
-                          rand_cost=rand_cost(4))
     land_coast_seeds = land_mask & jnp.any(nbr_ocean & g.nbr_mask, axis=1)
-    dist_coast_land = bfs_hops(land_coast_seeds, r_is_ocean, g.nbr_idx,
-                               g.nbr_mask, rand_cost=rand_cost(5))
+
+    # the five distance fields (js/elevation.js:365-427) relax together in
+    # one [N,5] loop — a single index-bound gather per sweep instead of five
+    dists = bfs_hops_multi(
+        jnp.stack([stress_mountain, ocean_seeds, coastline, coast_seeds,
+                   land_coast_seeds], 1),
+        jnp.stack([ocean_seeds, coastline, stop_r, no_barrier,
+                   r_is_ocean], 1),
+        g.nbr_idx, g.nbr_mask,
+        rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1))
+    dist_mountain = dists[:, 0]
+    dist_ocean = dists[:, 1]
+    dist_coastline = dists[:, 2]
+    dist_coast = dists[:, 3]
+    dist_coast_land = dists[:, 4]
 
     max_stress = _stress_p97(stress, g.valid)
 
@@ -552,8 +565,6 @@ def assign_elevation(
     max_cd = max(8, round(8 * sf_res))
     max_arc = max(5, round(5 * sf_res))
 
-    same_plate = (r_plate[g.nbr_idx] == r_plate[:, None])
-
     # coast-boundary carry BFS (dBdry + stress/subduct/convergent carries)
     coast_bdry = jnp.any(nbr_ocean != r_is_ocean[:, None], axis=1,
                          where=g.nbr_mask) & g.valid
@@ -563,31 +574,44 @@ def assign_elevation(
         jnp.where(coast_bdry, subduct, 0.0),
         jnp.where(coast_bdry, (col.btype == 1).astype(jnp.float32), 0.0),
     ])
-    d_bdry, _, carried = carry_bfs(
-        coast_bdry, carried0, g.nbr_idx, g.nbr_mask, max_hops=max_cd,
-        tie=carried0[0])
-    d_bdry = jnp.where(jnp.isinf(d_bdry), max_cd + 1.0, d_bdry)
-    coast_stress, coast_subduct, coast_convergent = carried
+    d_bdry2, _, carried = band_bfs(
+        coast_bdry[:, None], carried0[:, :, None], g.nbr_idx, g.nbr_mask,
+        max_hops=max_cd, tie=carried0[0][:, None], num_carry=3)
+    d_bdry = jnp.where(jnp.isinf(d_bdry2[:, 0]), max_cd + 1.0, d_bdry2[:, 0])
+    coast_stress, coast_subduct, coast_convergent = (
+        carried[0, :, 0], carried[1, :, 0], carried[2, :, 0])
 
-    # rift / ridge / fracture / back-arc BFS
+    # rift / ridge / fracture / back-arc / island-arc carry BFS — five
+    # structural bands batched into one packed-gather loop
     rift_seeds = (col.btype == 2) & (~col.has_ocean) & g.valid
-    rift_dist, _, _ = carry_bfs(rift_seeds, None, g.nbr_idx, g.nbr_mask,
-                                max_hops=rift_half, allow=land_mask,
-                                edge_same=same_plate, num_carry=1)
     ridge_seeds = (col.btype == 2) & col.both_ocean & g.valid
-    ridge_dist, _, _ = carry_bfs(ridge_seeds, None, g.nbr_idx, g.nbr_mask,
-                                 max_hops=ridge_half, allow=r_is_ocean,
-                                 num_carry=1)
     frac_seeds = (col.btype == 3) & col.both_ocean & g.valid
-    fracture_dist, _, _ = carry_bfs(frac_seeds, None, g.nbr_idx, g.nbr_mask,
-                                    max_hops=fracture_half, allow=r_is_ocean,
-                                    num_carry=1)
     ba_seeds = (col.btype == 1) & col.has_ocean & (subduct < 0.50) & g.valid
-    ba_carry0 = jnp.where(ba_seeds, stress_n, 0.0)[None, :]
-    backarc_dist, _, ba_carry = carry_bfs(
-        ba_seeds, ba_carry0, g.nbr_idx, g.nbr_mask, max_hops=ba_end,
-        edge_same=same_plate)
-    backarc_stress = ba_carry[0]
+    arc_seeds = (col.btype == 1) & col.both_ocean & (subduct < 0.45) & g.valid
+    all_cells = jnp.ones(npad, bool)
+    zero = jnp.zeros(npad, jnp.float32)
+    band_hops = max(rift_half, ridge_half, fracture_half, ba_end, max_arc)
+    band_dist, _, band_carry = band_bfs(
+        jnp.stack([rift_seeds, ridge_seeds, frac_seeds, ba_seeds,
+                   arc_seeds], 1),
+        jnp.stack([zero, zero, zero,
+                   jnp.where(ba_seeds, stress_n, 0.0),
+                   jnp.where(arc_seeds, stress_n, 0.0)], 1)[None],
+        g.nbr_idx, g.nbr_mask, max_hops=band_hops,
+        hops_cap=jnp.asarray([rift_half, ridge_half, fracture_half,
+                              ba_end, max_arc], jnp.int32),
+        allow=jnp.stack([land_mask, r_is_ocean, r_is_ocean, all_cells,
+                         r_is_ocean], 1),
+        edge_gate=same_plate,
+        use_gate=jnp.asarray([True, False, False, True, True]),
+        num_carry=1)
+    rift_dist = band_dist[:, 0]
+    ridge_dist = band_dist[:, 1]
+    fracture_dist = band_dist[:, 2]
+    backarc_dist = band_dist[:, 3]
+    backarc_stress = band_carry[0, :, 3]
+    arc_dist = band_dist[:, 4]
+    arc_stress = band_carry[0, :, 4]
 
     # -------- fused assembly --------
     rift_t = nt["rift"]
@@ -616,14 +640,9 @@ def assign_elevation(
         noise_t, jnp.float32(noise_mag),
         coast_roughen_dist=max_cd, island_band=max(4, round(4 * sf_res)))
 
-    # -------- island arcs --------
-    arc_seeds = (col.btype == 1) & col.both_ocean & (subduct < 0.45) & g.valid
-    arc_carry0 = jnp.where(arc_seeds, stress_n, 0.0)[None, :]
-    arc_dist, _, arc_carry = carry_bfs(
-        arc_seeds, arc_carry0, g.nbr_idx, g.nbr_mask, max_hops=max_arc,
-        allow=r_is_ocean, edge_same=same_plate)
+    # -------- island arcs (band computed above) --------
     elev, dl_arc = _island_arcs(
-        g.pos, elev, arc_dist, arc_carry[0], nt["arc"],
+        g.pos, elev, arc_dist, arc_stress, nt["arc"],
         peak_dist=max(1.5, 1.5 * sf_res), sigma=max(1.5, 1.5 * sf_res),
         max_arc_dist=max_arc)
     debug["coastal"] = dl_coastal + dl_arc

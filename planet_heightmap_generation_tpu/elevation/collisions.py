@@ -130,6 +130,50 @@ def find_collisions(g: DeviceGraph, r_plate, plate_is_ocean, plate_pole,
 
 
 @jax.jit
+def propagate_stress_multi(stress, subduct, same, ocean_cell, nbr_idx,
+                           decay, subduct_decay, num_passes):
+    """G independent stress propagations (e.g. small + super plate layers)
+    in one sweep loop. All neighbor state (propagated stress, sendability,
+    subduct factor) packs into a single [N, 3G] gather per sweep — TPU
+    gathers are index-bound, so this costs ~1/3G of the per-field loops.
+
+    stress/subduct/ocean_cell: [N,G]; same: [N,K,G] same-plate edge masks.
+    """
+    active0 = stress > 0.01
+
+    def cond(state):
+        i, _, _, _, changed = state
+        return changed & (i < num_passes)
+
+    def body(state):
+        i, stress, sf, active, _ = state
+        g = stress.shape[1]
+        eff = jnp.where(sf > 0.5, subduct_decay, decay)
+        prop = stress * eff
+        sendable = active & (~ocean_cell) & (prop >= 0.005)
+        packed = jnp.concatenate(
+            [prop, sendable.astype(jnp.float32), sf], axis=1)   # [N,3G]
+        gp = packed[nbr_idx]                                     # [N,K,3G]
+        cand = jnp.where(same & (gp[:, :, g:2 * g] > 0.5),
+                         gp[:, :, :g], -jnp.inf)                 # [N,K,G]
+        best = jnp.argmax(cand, axis=1)                          # [N,G]
+        take = lambda a: jnp.take_along_axis(a, best[:, None, :], 1)[:, 0, :]
+        best_val = take(cand)
+        src_sf = take(gp[:, :, 2 * g:3 * g])
+        upd = best_val > stress
+        stress2 = jnp.where(upd, best_val, stress)
+        sf2 = jnp.where(upd, src_sf, sf)
+        return i + 1, stress2, sf2, active | upd, jnp.any(upd)
+
+    _, stress, subduct, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), stress.astype(jnp.float32),
+         subduct.astype(jnp.float32), active0, jnp.bool_(True)),
+    )
+    return stress, subduct
+
+
+@jax.jit
 def propagate_stress(stress, subduct, r_plate, plate_is_ocean,
                      nbr_idx, nbr_mask, decay, subduct_decay, num_passes):
     """Frontier BFS stress diffusion inward through the same plate

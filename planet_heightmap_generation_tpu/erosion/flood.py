@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import connected_components, hash01
+from .fluvial import _log_rounds
 
 EPS = 1e-6  # reference uses 1e-7; promoted one decade so the increment
             # survives float32 rounding at elevations ~0.5
@@ -109,28 +110,34 @@ def _epsilon_fill(elev, is_ocean, open_ocean, nbr_idx, nbr_mask, valid):
 
 
 @partial(jax.jit, static_argnames=("rounds",))
-def downstream_accumulate(values, pointers, sink_mask, rounds: int = 22):
+def downstream_accumulate(values, pointers, sink_mask, rounds: int = 0):
     """For each cell, the sum of ``values`` over all upstream cells whose
     drain path passes through it (inclusive), via pointer doubling:
     S ← S + scatter_add(S along P), P ← P[P]. Cells where ``sink_mask``
     holds (and negative pointers) route to a virtual sink."""
     n = values.shape[0]
+    if rounds <= 0:
+        rounds = _log_rounds(n)
     sink = n
     p = jnp.where(sink_mask | (pointers < 0), sink, pointers)
 
-    def step(carry, _):
-        s, p = carry
+    def cond(state):
+        i, _, p = state
+        return (i < rounds) & jnp.any(p != sink)
+
+    def body(state):
+        i, s, p = state
         added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
         s2 = s + added[:n]
         p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
-        return (s2, p2), None
+        return i + 1, s2, p2
 
-    (s, _), _ = jax.lax.scan(step, (values, p), None, length=rounds)
+    _, s, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), values, p))
     return s
 
 
 @partial(jax.jit, static_argnames=("rounds",))
-def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 22):
+def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
     """Exact fixpoint of elev'[r] = max(elev[r], elev'[drain[r]] + ε), with
     ocean target elevation treated as 0 (js/terrain-post.js:198-214).
 
@@ -139,6 +146,8 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 22):
     path prefix of length L ending at P.
     """
     n = elev.shape[0]
+    if rounds <= 0:
+        rounds = _log_rounds(n)
     land = (~is_ocean) & valid & (drain >= 0)
     g = jnp.where(is_ocean, 0.0, elev).astype(jnp.float32)
 

@@ -21,10 +21,19 @@ elevation, accumulates flow sequentially, then solves
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _log_rounds(n: int) -> int:
+    """Pointer-doubling round count covering any chain on an N-cell mesh:
+    ceil(log2 N) + 2 margin (VERDICT r1 #9 — fixed 22 under-covered >4M,
+    over-ran small meshes). The loops also early-exit once every pointer
+    reaches the sink, so this is a cap, not a cost."""
+    return max(8, math.ceil(math.log2(max(2, n))) + 2)
 
 
 @jax.jit
@@ -51,28 +60,34 @@ def steepest_receivers(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid):
 
 
 @partial(jax.jit, static_argnames=("rounds",))
-def flow_accumulation(land, rcv, is_pit, rounds: int = 22):
-    """Upstream drainage area (cell count), pointer-doubled.
+def flow_accumulation(land, rcv, is_pit, rounds: int = 0):
+    """Upstream drainage area (cell count), pointer-doubled with early exit.
     Pits route to the sink so pointer cycles cannot inflate flow."""
     n = land.shape[0]
+    if rounds <= 0:
+        rounds = _log_rounds(n)
     sink = n
     p = jnp.where(land & (rcv >= 0) & (~is_pit), rcv, sink).astype(jnp.int32)
     s = jnp.where(land, 1.0, 0.0).astype(jnp.float32)
 
-    def step(carry, _):
-        s, p = carry
+    def cond(state):
+        i, _, p = state
+        return (i < rounds) & jnp.any(p != sink)
+
+    def body(state):
+        i, s, p = state
         added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
         s2 = s + added[:n]
         p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
-        return (s2, p2), None
+        return i + 1, s2, p2
 
-    (s, _), _ = jax.lax.scan(step, (s, p), None, length=rounds)
+    _, s, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), s, p))
     return s
 
 
 @partial(jax.jit, static_argnames=("rounds",))
 def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
-                       k_coeff, m_exp, dt, rounds: int = 22):
+                       k_coeff, m_exp, dt, rounds: int = 0):
     """Exact Braun-Willett implicit solve via affine pointer doubling,
     followed by parallel sediment deposition. Returns new elevation."""
     n = elev.shape[0]
@@ -88,6 +103,9 @@ def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
     # terminal values: ocean receivers contribute max(elev, 0); pits and
     # ocean cells resolve to their own (clamped) height
     term = jnp.where(is_ocean, jnp.maximum(elev, 0.0), elev).astype(jnp.float32)
+
+    if rounds <= 0:
+        rounds = _log_rounds(n)
 
     # affine composition toward roots: h'_i = A_i + B_i * term[root_i]
     p = jnp.where(active, rcv_c, n).astype(jnp.int32)

@@ -188,3 +188,36 @@ def test_full_post_processing(terrain):
     before = (np.asarray(e)[: g.n_cells] > 0).mean()
     after = (out[: g.n_cells] > 0).mean()
     assert abs(before - after) < 0.15
+
+
+def test_pointer_doubling_exact_on_1m_chain():
+    """Scale proof (VERDICT r1 #9): flow accumulation and monotonic drainage
+    must be EXACT on a maximal-depth dendritic chain at production-like N —
+    rounds scale as ceil(log2 N)+2 rather than a fixed constant."""
+    import jax.numpy as jnp
+    from planet_heightmap_generation_tpu.erosion.fluvial import (
+        flow_accumulation, _log_rounds)
+    from planet_heightmap_generation_tpu.erosion.flood import (
+        monotonic_enforce, EPS)
+
+    n = 1 << 20  # 1,048,576-cell single chain: depth is the worst case
+    assert (1 << _log_rounds(n)) >= n
+    rcv = jnp.arange(-1, n - 1, dtype=jnp.int32)   # i drains to i-1
+    land = jnp.ones(n, bool).at[0].set(False)      # cell 0 = ocean
+    is_pit = jnp.zeros(n, bool)
+
+    flow = np.asarray(flow_accumulation(land, rcv, is_pit))
+    # land cell i receives all cells above it: flow[i] = n - i
+    for i in (1, 2, 1000, n // 2, n - 2, n - 1):
+        assert flow[i] == n - i, (i, flow[i])
+
+    elev = jnp.full(n, 0.5, jnp.float32)
+    is_ocean = ~land
+    valid = jnp.ones(n, bool)
+    out = np.asarray(monotonic_enforce(elev, rcv, is_ocean, valid))
+    # exact fixpoint: elev'[i] = 0.5 + (i-1)*EPS -> strictly monotonic
+    for i in (2, 1000, n // 2, n - 1):
+        expect = 0.5 + (i - 1) * EPS
+        assert abs(out[i] - expect) < 5e-4, (i, out[i], expect)
+    diffs = np.diff(out[1:])
+    assert (diffs > 0).all(), "drainage not strictly monotonic"
