@@ -14,7 +14,9 @@ a multiple of 1024 so fields tile cleanly onto the VPU (8×128 lanes) and
 shard evenly across a device mesh.
 
 Mesh construction is seed-dependent but cheap relative to the field pipeline
-(one scipy Delaunay), so it stays on host and ships static arrays to device.
+(native C++ sweep-hull Delaunay + adjacency, ~2.5 s at 1M cells; scipy
+fallback when no compiler), so it stays on host and ships static arrays to
+device.
 """
 
 from __future__ import annotations
@@ -97,12 +99,22 @@ class SphereGraph:
     deg: np.ndarray              # [NP] i32
     valid: np.ndarray            # [NP] bool
     triangles: np.ndarray        # [T, 3] i32 — for rendering / export parity
-    t_pos: np.ndarray            # [T, 3] f32 triangle centers (Voronoi verts)
     pole_id: int                 # index of the stitched pole cell (= N)
+    _t_pos: Optional[np.ndarray] = None
 
     @property
     def k_max(self) -> int:
         return self.nbr_idx.shape[1]
+
+    @property
+    def t_pos(self) -> np.ndarray:
+        """[T,3] f32 triangle centers (Voronoi vertices) — computed lazily;
+        only renderer/export consumers need it (~2 s at 1M cells)."""
+        if self._t_pos is None:
+            object.__setattr__(
+                self, "_t_pos",
+                self.pos[self.triangles].mean(axis=1).astype(np.float32))
+        return self._t_pos
 
     @property
     def avg_edge(self) -> float:
@@ -142,6 +154,22 @@ def _ordered_adjacency(n_total: int, triangles: np.ndarray, pos: np.ndarray):
     return src[order], dst[order]
 
 
+def _native_delaunay(fn, flat: np.ndarray):
+    """Call the native triangulator; returns (triangles [T,3], hull cycle)."""
+    import ctypes
+
+    m = len(flat)
+    xs = np.ascontiguousarray(flat[:, 0], np.float64)
+    ys = np.ascontiguousarray(flat[:, 1], np.float64)
+    tris = np.empty((2 * m, 3), np.int32)
+    hull = np.empty(m, np.int32)
+    hl = ctypes.c_int64(0)
+    t = fn(xs, ys, m, tris, hull, ctypes.byref(hl))
+    if t <= 0:
+        raise RuntimeError("native Delaunay failed")
+    return tris[:t].copy(), hull[: hl.value].copy()
+
+
 def build_sphere(
     n: int,
     jitter: float,
@@ -159,75 +187,88 @@ def build_sphere(
     xyz = generate_fibonacci_sphere(n, jitter, rng)
     flat = _stereographic(xyz)
 
-    tri = Delaunay(flat)
-    simplices = tri.simplices.astype(np.int32)  # [T0, 3]
+    from ..native import get_mesh_build
+    native = get_mesh_build()
 
-    # Pole closure: connect every hull edge to the pole point (index n).
-    # (The hull of the stereographic projection surrounds the north pole.)
-    hull = tri.convex_hull.astype(np.int32)  # [H, 2]
     pole_id = n
-    pole_tris = np.concatenate(
-        [hull, np.full((len(hull), 1), pole_id, dtype=np.int32)], axis=1
-    )
+    if native is not None:
+        simplices, hull_cycle = _native_delaunay(native[0], flat)
+        # Pole closure from the hull CYCLE: consecutive pairs are hull edges.
+        pole_tris = np.stack(
+            [hull_cycle, np.roll(hull_cycle, -1),
+             np.full(len(hull_cycle), pole_id, dtype=np.int32)], axis=1)
+    else:
+        tri = Delaunay(flat)
+        simplices = tri.simplices.astype(np.int32)  # [T0, 3]
+        # Pole closure: connect every hull edge to the pole point (index n).
+        # (The hull of the stereographic projection surrounds the north pole.)
+        hull = tri.convex_hull.astype(np.int32)  # [H, 2]
+        pole_tris = np.concatenate(
+            [hull, np.full((len(hull), 1), pole_id, dtype=np.int32)], axis=1)
     triangles = np.concatenate([simplices, pole_tris], axis=0)
 
     n_total = n + 1
     pos_all = np.concatenate([xyz, [[0.0, 0.0, 1.0]]], axis=0)
-
-    src, dst = _ordered_adjacency(n_total, triangles, pos_all)
-    deg = np.bincount(src, minlength=n_total).astype(np.int32)
     k_max = K_FIXED
-
-    # truncate over-degree vertices (pole fan / rare jitter artifacts) to
-    # their K_FIXED nearest neighbors so shapes stay seed-independent
-    if int(deg.max()) > k_max:
-        edge_d = np.linalg.norm(pos_all[src] - pos_all[dst], axis=1)
-        over = np.flatnonzero(deg > k_max)
-        keep = np.ones(len(src), dtype=bool)
-        offsets0 = np.zeros(n_total + 1, dtype=np.int64)
-        np.cumsum(deg, out=offsets0[1:])
-        for v in over:
-            lo, hi = offsets0[v], offsets0[v + 1]
-            order = np.argsort(edge_d[lo:hi], kind="stable")
-            keep[lo + order[k_max:]] = False
-        # drop the reverse edges of every dropped edge too: an asymmetric
-        # graph breaks conservation in proportional-share transport (a
-        # receiver's total[j] would count an edge the sender no longer has)
-        # and silently skips pole-fan neighbors in circulation order
-        dropped = src[~keep].astype(np.int64) * n_total + dst[~keep]
-        rev_key = dst.astype(np.int64) * n_total + src
-        keep &= ~np.isin(rev_key, dropped)
-        src, dst = src[keep], dst[keep]
-        deg = np.bincount(src, minlength=n_total).astype(np.int32)
-
     n_padded = -(-n_total // pad_multiple) * pad_multiple
 
     nbr_idx = np.tile(
         np.arange(n_padded, dtype=np.int32)[:, None], (1, k_max)
     )  # self-index default (safe gather)
     nbr_mask = np.zeros((n_padded, k_max), dtype=bool)
+    nbr_dist = np.zeros((n_padded, k_max), dtype=np.float32)
+    deg_pad = np.zeros(n_padded, dtype=np.int32)
 
-    offsets = np.zeros(n_total + 1, dtype=np.int64)
-    np.cumsum(deg, out=offsets[1:])
-    slot = np.arange(len(src), dtype=np.int64) - offsets[src]
-    nbr_idx[src, slot] = dst
-    nbr_mask[src, slot] = True
+    if native is not None:
+        mask_u8 = np.zeros((n_padded, k_max), dtype=np.uint8)
+        rc = native[1](
+            np.ascontiguousarray(triangles), len(triangles),
+            np.ascontiguousarray(pos_all), n_total,
+            k_max, n_padded, nbr_idx, mask_u8, nbr_dist, deg_pad)
+        assert rc == 0
+        nbr_mask = mask_u8.astype(bool)
+    else:
+        src, dst = _ordered_adjacency(n_total, triangles, pos_all)
+        deg = np.bincount(src, minlength=n_total).astype(np.int32)
+        # truncate over-degree vertices (pole fan / rare jitter artifacts) to
+        # their K_FIXED nearest neighbors so shapes stay seed-independent
+        if int(deg.max()) > k_max:
+            edge_d = np.linalg.norm(pos_all[src] - pos_all[dst], axis=1)
+            over = np.flatnonzero(deg > k_max)
+            keep = np.ones(len(src), dtype=bool)
+            offsets0 = np.zeros(n_total + 1, dtype=np.int64)
+            np.cumsum(deg, out=offsets0[1:])
+            for v in over:
+                lo, hi = offsets0[v], offsets0[v + 1]
+                order = np.argsort(edge_d[lo:hi], kind="stable")
+                keep[lo + order[k_max:]] = False
+            # drop the reverse edges of every dropped edge too: an asymmetric
+            # graph breaks conservation in proportional-share transport (a
+            # receiver's total[j] would count an edge the sender no longer
+            # has) and silently skips pole-fan neighbors in circulation order
+            dropped = src[~keep].astype(np.int64) * n_total + dst[~keep]
+            rev_key = dst.astype(np.int64) * n_total + src
+            keep &= ~np.isin(rev_key, dropped)
+            src, dst = src[keep], dst[keep]
+            deg = np.bincount(src, minlength=n_total).astype(np.int32)
+
+        offsets = np.zeros(n_total + 1, dtype=np.int64)
+        np.cumsum(deg, out=offsets[1:])
+        slot = np.arange(len(src), dtype=np.int64) - offsets[src]
+        nbr_idx[src, slot] = dst
+        nbr_mask[src, slot] = True
+        d = pos_all[nbr_idx[:n_total]] - pos_all[:, None, :]
+        nbr_dist[:n_total] = np.where(
+            nbr_mask[:n_total], np.sqrt((d * d).sum(-1)), 0.0
+        ).astype(np.float32)
+        deg_pad[:n_total] = deg
 
     pos_pad = np.zeros((n_padded, 3), dtype=np.float32)
     pos_pad[:n_total] = pos_all.astype(np.float32)
     pos_pad[n_total:] = [0.0, 0.0, 1.0]
 
-    d = pos_pad[:, None, :] - pos_pad[nbr_idx]
-    nbr_dist = np.where(
-        nbr_mask, np.sqrt((d * d).sum(-1)), 0.0
-    ).astype(np.float32)
-
-    deg_pad = np.zeros(n_padded, dtype=np.int32)
-    deg_pad[:n_total] = deg
     valid = np.zeros(n_padded, dtype=bool)
     valid[:n_total] = True
-
-    t_pos = pos_all[triangles].mean(axis=1).astype(np.float32)
 
     return SphereGraph(
         n_cells=n_total,
@@ -239,6 +280,5 @@ def build_sphere(
         deg=deg_pad,
         valid=valid,
         triangles=triangles,
-        t_pos=t_pos,
         pole_id=pole_id,
     )

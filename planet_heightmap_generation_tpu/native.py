@@ -77,3 +77,78 @@ def get_coarse_fill():
         ]
         _LIB = fn
         return _LIB
+
+
+_MESH_SRC = os.path.join(_ROOT, "native", "mesh_build.cpp")
+_MESH_SO = os.path.join(_BUILD_DIR, "mesh_build.so")
+_MESH_LOCK = threading.Lock()
+_MESH_LIB = None
+_MESH_TRIED = False
+
+
+def _compile_mesh() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _MESH_SO, _MESH_SRC],
+                check=True, capture_output=True, timeout=180)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError):
+            continue
+    return False
+
+
+def get_mesh_build():
+    """(mesh_delaunay, mesh_adjacency) ctypes handles, or None.
+
+    The native mesh builder replaces scipy Qhull + numpy adjacency on the
+    host prologue hot path (~40x at 1M cells); mesh/build.py falls back to
+    the pure-Python implementation when no compiler is available."""
+    global _MESH_LIB, _MESH_TRIED
+    with _MESH_LOCK:
+        if _MESH_TRIED:
+            return _MESH_LIB
+        _MESH_TRIED = True
+        if not os.path.exists(_MESH_SRC):
+            return None
+        if not os.path.exists(_MESH_SO) or (
+                os.path.getmtime(_MESH_SO) < os.path.getmtime(_MESH_SRC)):
+            if not _compile_mesh():
+                return None
+        try:
+            lib = ctypes.CDLL(_MESH_SO)
+        except OSError:
+            return None
+        import numpy as np
+        from numpy.ctypeslib import ndpointer
+
+        dl = lib.mesh_delaunay
+        dl.restype = ctypes.c_int64
+        dl.argtypes = [
+            ndpointer(np.float64, flags="C_CONTIGUOUS"),  # xs
+            ndpointer(np.float64, flags="C_CONTIGUOUS"),  # ys
+            ctypes.c_int64,
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_tris
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_hull
+            ctypes.POINTER(ctypes.c_int64),               # hull_len
+        ]
+        pm = lib.pm_sequence
+        pm.restype = ctypes.c_int64
+        pm.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                       ndpointer(np.float64, flags="C_CONTIGUOUS")]
+        adj = lib.mesh_adjacency
+        adj.restype = ctypes.c_int
+        adj.argtypes = [
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),    # tris
+            ctypes.c_int64,
+            ndpointer(np.float64, flags="C_CONTIGUOUS"),  # pos
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),    # nbr_idx
+            ndpointer(np.uint8, flags="C_CONTIGUOUS"),    # nbr_mask
+            ndpointer(np.float32, flags="C_CONTIGUOUS"),  # nbr_dist
+            ndpointer(np.int32, flags="C_CONTIGUOUS"),    # deg
+        ]
+        _MESH_LIB = (dl, adj, pm)
+        return _MESH_LIB

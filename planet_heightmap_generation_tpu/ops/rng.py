@@ -46,11 +46,23 @@ class ParkMiller:
         return int(self() * n)
 
     def sequence(self, count: int) -> np.ndarray:
-        """Draw ``count`` values, advancing state; vectorized."""
+        """Draw ``count`` values, advancing state; native loop when the C++
+        helper is built (the vectorized modexp costs ~5 s for 4M draws on
+        one core; the C loop ~20 ms), numpy otherwise."""
+        if count <= 0:
+            return np.empty(0, dtype=np.float64)
+        try:
+            from ..native import get_mesh_build
+            native = get_mesh_build()
+        except Exception:
+            native = None
+        if native is not None and count >= 4096:
+            out = np.empty(count, dtype=np.float64)
+            self.s = int(native[2](self.s, count, out))
+            return out
         out = pm_sequence_from_state(self.s, count)
-        if count > 0:
-            # advance state to s * A^count mod M
-            self.s = (self.s * pow(_A, count, _M)) % _M
+        # advance state to s * A^count mod M
+        self.s = (self.s * pow(_A, count, _M)) % _M
         return out
 
 
