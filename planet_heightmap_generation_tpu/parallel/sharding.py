@@ -46,6 +46,40 @@ def make_planet_mesh(n_devices: Optional[int] = None,
     return Mesh(grid, axis_names=("seed", "cells"))
 
 
+def cells_mesh(n_devices: Optional[int] = None,
+               devices: Optional[Sequence] = None) -> Mesh:
+    """1D device mesh with a single 'cells' axis — the production sharding
+    for one planet: every [N]-leading field splits across devices, neighbor
+    gathers at shard boundaries ride XLA collectives over ICI."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    return Mesh(np.asarray(devs[:n_devices]), axis_names=("cells",))
+
+
+def shard_fused_args(mesh: Mesh, args):
+    """Place the fused-pipeline argument tuple (engine.host_setup .args) on
+    a 'cells' mesh: [n_padded]-leading arrays split over 'cells', everything
+    else (plate tables, domes, noise tables, triangles) replicated. jax.jit
+    then compiles the whole generate as one SPMD program."""
+    g = args[0]
+    n_padded = g.n_padded
+    cells = NamedSharding(mesh, P("cells"))
+    repl = NamedSharding(mesh, P())
+
+    def place(a):
+        if a is None or not hasattr(a, "shape"):
+            return a
+        if a.ndim >= 1 and a.shape[0] == n_padded:
+            spec = P("cells", *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, repl)
+
+    return jax.tree_util.tree_map(place, args)
+
+
 def shard_cells(mesh: Mesh, *arrays, batched: bool = False):
     """Place [N] / [N,K] arrays (or [B,N...] when batched) with the cell
     dimension split across the 'cells' axis."""

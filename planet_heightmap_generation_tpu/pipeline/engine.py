@@ -127,6 +127,98 @@ def _plate_device_arrays(plates):
             jnp.asarray(plates.density.astype(np.float32)))
 
 
+class PlanetSetup:
+    """Everything the device pipeline needs, built on host for one seed.
+    Shared by the engine, the vmapped seed-batch runner (parallel/batch.py)
+    and the multichip dryrun."""
+
+    __slots__ = ("params", "seed", "skip_climate", "graph", "g", "coarse",
+                 "plates", "super_sp", "original_is_ocean", "domes",
+                 "noise_pack", "warp_t", "spec", "args")
+
+
+def host_setup(params: GenerationParams, timer: Optional[StageTimer] = None,
+               prog: Optional[Callable] = None,
+               max_super: Optional[int] = None) -> PlanetSetup:
+    """The full host prologue: mesh, coarse tectonics, super plates, hotspot
+    domes, noise tables — plus the fused-pipeline spec and argument tuple.
+    ``max_super`` pads the super-plate arrays to a fixed row count (needed
+    when stacking setups across seeds for vmap)."""
+    from .fused import FusedSpec
+    from ..tectonics.coarse import projection_inputs
+
+    timer = timer or StageTimer(sync_enabled=False)
+    prog = prog or (lambda pct, label: None)
+    s = PlanetSetup()
+    s.params = params
+    s.seed = seed = params.seed
+    skip_climate = params.skip_climate
+    if skip_climate is None:
+        skip_climate = params.n_cells > AUTO_CLIMATE_THRESHOLD
+    s.skip_climate = skip_climate
+
+    prog(0, "Shaping the world…")
+    rng = ParkMiller(seed)
+    with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
+        s.graph = build_sphere(params.n_cells, params.jitter, rng=rng)
+        s.g = to_device(s.graph)
+
+    prog(10, "Generating coarse plates…")
+    with timer.stage("Coarse plates"):
+        s.coarse = generate_coarse_plates(
+            seed, params.n_plates, params.num_continents,
+            params.continent_size_variety, params.land_coverage)
+
+    plates = s.plates = s.coarse.plates
+    s.original_is_ocean = plates.is_ocean.copy()
+    for i in params.toggled_indices:
+        if i < plates.num_plates:
+            plates.is_ocean[i] = not plates.is_ocean[i]
+    assign_plate_densities(plates)
+
+    # Super plates from the coarse map: the plate-level graph (areas,
+    # adjacency) is resolution-independent, so building it on the 20K
+    # coarse assignment avoids syncing the projected hi-res map back to
+    # host mid-pipeline (the reference builds it from the projected map,
+    # js/planet-worker.js:207-211 — same plates, same adjacency up to
+    # boundary warping).
+    s.super_sp = None
+    if params.n_plates >= 8:
+        with timer.stage("Super plates"):
+            s.super_sp = build_super_plates(
+                s.coarse.graph, s.coarse.r_plate, plates)
+
+    with timer.stage("Hotspot domes + noise tables"):
+        s.domes, s.noise_pack, s.warp_t = _host_prologue(
+            s.graph, s.coarse, plates, seed, params.n_plates)
+
+    p_arrays = _plate_device_arrays(plates)
+    sup_arrays = None
+    if s.super_sp is not None:
+        sp = s.super_sp
+        pts = sp.plate_to_super.astype(np.int32)
+        so = sp.is_ocean
+        spo = sp.pole.astype(np.float32)
+        som = sp.omega.astype(np.float32)
+        sd = sp.density.astype(np.float32)
+        if max_super is not None and len(so) < max_super:
+            pad = max_super - len(so)
+            so = np.concatenate([so, np.zeros(pad, bool)])
+            spo = np.concatenate([spo, np.tile([[0.0, 1.0, 0.0]], (pad, 1))])
+            som = np.concatenate([som, np.zeros(pad, np.float32)])
+            sd = np.concatenate([sd, np.full(pad, 2.7, np.float32)])
+        sup_arrays = (jnp.asarray(pts), jnp.asarray(so), jnp.asarray(spo),
+                      jnp.asarray(som), jnp.asarray(sd))
+
+    s.spec = FusedSpec.of(
+        params, plates.num_plates, sup_arrays is not None, bool(s.domes),
+        s.coarse.bins.n_lat, s.coarse.bins.n_lon, skip_climate)
+    s.args = (s.g, projection_inputs(s.coarse, seed, params.n_plates),
+              p_arrays, sup_arrays, s.domes, s.noise_pack, s.warp_t,
+              tables(seed), jnp.asarray(s.graph.triangles), jnp.uint32(seed))
+    return s
+
+
 @jax.jit
 def _triangle_elevations(elevation, triangles):
     return jnp.mean(elevation[triangles], axis=1)
@@ -140,11 +232,18 @@ class PlanetEngine:
     The default is the production path: the whole device pipeline is
     enqueued gap-free and synced once at the end."""
 
-    def __init__(self, timing: Optional[bool] = None):
+    def __init__(self, timing: Optional[bool] = None, mesh=None):
+        """``mesh``: a jax.sharding.Mesh with a 'cells' axis — the fused
+        pipeline's [N]-leading inputs are placed with NamedSharding over it,
+        so the whole generate runs sharded across devices (XLA inserts the
+        collectives for cross-shard neighbor gathers and global reductions).
+        Only the fused production path shards; timing mode stays single-
+        device."""
         import os
         if timing is None:
             timing = os.environ.get("PLANET_TIMING", "0") == "1"
         self._timing = bool(timing)
+        self._mesh = mesh
         self._w: Optional[dict] = None
 
     # ── generate ─────────────────────────────────────────────────────
@@ -167,76 +266,30 @@ class PlanetEngine:
         timer = StageTimer(sync_enabled=self._timing)
         prog = on_progress or (lambda pct, label: None)
         seed = params.seed
-        skip_climate = params.skip_climate
-        if skip_climate is None:
-            skip_climate = params.n_cells > AUTO_CLIMATE_THRESHOLD
 
         # ── host prologue: everything seed-derived that isn't per-cell ──
-        prog(0, "Shaping the world…")
-        rng = ParkMiller(seed)
-        with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
-            graph = build_sphere(params.n_cells, params.jitter, rng=rng)
-            g = to_device(graph)
-
-        prog(10, "Generating coarse plates…")
-        with timer.stage("Coarse plates"):
-            coarse = generate_coarse_plates(
-                seed, params.n_plates, params.num_continents,
-                params.continent_size_variety, params.land_coverage)
-
-        plates = coarse.plates
-        original_is_ocean = plates.is_ocean.copy()
-        for i in params.toggled_indices:
-            if i < plates.num_plates:
-                plates.is_ocean[i] = not plates.is_ocean[i]
-        assign_plate_densities(plates)
-
-        # Super plates from the coarse map: the plate-level graph (areas,
-        # adjacency) is resolution-independent, so building it on the 20K
-        # coarse assignment avoids syncing the projected hi-res map back to
-        # host mid-pipeline (the reference builds it from the projected map,
-        # js/planet-worker.js:207-211 — same plates, same adjacency up to
-        # boundary warping).
-        super_sp = None
-        if params.n_plates >= 8:
-            with timer.stage("Super plates"):
-                super_sp = build_super_plates(
-                    coarse.graph, coarse.r_plate, plates)
-
-        with timer.stage("Hotspot domes + noise tables"):
-            domes, noise_pack, warp_t = _host_prologue(
-                graph, coarse, plates, seed, params.n_plates)
-
-        # ── device pipeline: enqueued gap-free, no host reads ──
-        prog(20, "Projecting plates…")
-        p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
-        sup_arrays = None
-        if super_sp is not None:
-            sup_arrays = (
-                jnp.asarray(super_sp.plate_to_super.astype(np.int32)),
-                jnp.asarray(super_sp.is_ocean),
-                jnp.asarray(super_sp.pole.astype(np.float32)),
-                jnp.asarray(super_sp.omega.astype(np.float32)),
-                jnp.asarray(super_sp.density.astype(np.float32)),
-            )
+        s = host_setup(params, timer=timer, prog=prog)
+        graph, g, coarse, plates = s.graph, s.g, s.coarse, s.plates
+        super_sp = s.super_sp
+        original_is_ocean = s.original_is_ocean
+        domes, noise_pack, warp_t = s.domes, s.noise_pack, s.warp_t
+        skip_climate = s.skip_climate
+        p_ocean, p_pole, p_omega, p_dens = s.args[2]
+        sup_arrays = s.args[3]
         avg_edge = math.pi / math.sqrt(graph.n_cells)
 
+        prog(20, "Projecting plates…")
         if not self._timing:
             # production path: the whole device side is ONE jitted program —
             # a single dispatch and a single final sync (pipeline/fused.py)
-            from .fused import FusedSpec, fused_pipeline
-            from ..tectonics.coarse import projection_inputs
+            from .fused import fused_pipeline
 
-            spec = FusedSpec.of(
-                params, plates.num_plates, sup_arrays is not None,
-                bool(domes), coarse.bins.n_lat, coarse.bins.n_lon,
-                skip_climate)
-            proj = projection_inputs(coarse, seed, params.n_plates)
+            args = s.args
+            if self._mesh is not None:
+                from ..parallel.sharding import shard_fused_args
+                args = shard_fused_args(self._mesh, args)
             with timer.stage("Device pipeline (fused)"):
-                out = fused_pipeline(spec)(
-                    g, proj, (p_ocean, p_pole, p_omega, p_dens), sup_arrays,
-                    domes, noise_pack, warp_t, tables(seed),
-                    jnp.asarray(graph.triangles), jnp.uint32(seed))
+                out = fused_pipeline(s.spec)(*args)
             r_plate = out["r_plate"]
             pre_post = out["pre_post"]
             elevation = out["elevation"]

