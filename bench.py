@@ -93,18 +93,14 @@ def _bench_config(engine, cfg, seed):
     if _remaining() < cold * 0.7 + 10:
         return cold
     wall, r = _run_once(engine, params.replace(seed=seed + 1))
-    for name, ms in r.timing.stages:
-        if "post-processing" in name.lower() and not params_erosion_off(params):
-            _emit(f"{tag}_erosion_cells_per_s", round(n / (ms / 1000.0)),
-                  "cells/s", round((n / (ms / 1000.0)) / 1_000_000, 2))
+    if not (params.hydraulic_erosion == 0 and params.thermal_erosion == 0
+            and params.glacial_erosion == 0):
+        # the BASELINE named metric: cells/sec with the erosion stack on
+        _emit(f"{tag}_cells_per_s", round(n / wall), "cells/s",
+              round((n / wall) / 1_000_000, 2))
     _emit(f"{tag}_wall_s_{n // 1000}k", round(wall, 3), "s",
           _vs_baseline(n, wall))
     return wall
-
-
-def params_erosion_off(params):
-    return (params.hydraulic_erosion == 0 and params.thermal_erosion == 0
-            and params.glacial_erosion == 0)
 
 
 def _bench_sweep(engine, seed):

@@ -39,10 +39,49 @@ struct Delaunay {
     int64_t hash_size = 0;
     double cx = 0, cy = 0;  // seed circumcenter
 
+    // Robust orientation (adaptive, Shewchuk-style filter + exact fallback
+    // via double-double arithmetic). The stereographic projection puts
+    // near-pole points at coordinates ~1e6+, where the naive determinant's
+    // rounding flips signs and produces non-manifold triangles — the same
+    // reason the reference's Delaunator depends on robust-predicates.
+    static void two_prod(double a, double b, double* hi, double* lo) {
+        *hi = a * b;
+        *lo = std::fma(a, b, -*hi);
+    }
+
+    static void two_diff(double a, double b, double* hi, double* lo) {
+        double s = a - b;
+        double bb = a - s;
+        *lo = (a - (s + bb)) + (bb - b);
+        *hi = s;
+    }
+
     static double orient2d(double ax, double ay, double bx, double by,
                            double cx_, double cy_) {
-        // positive if a,b,c counterclockwise (non-robust, like the JS lib)
-        return (by - ay) * (cx_ - bx) - (bx - ax) * (cy_ - by);
+        // positive if a,b,c counterclockwise
+        double detleft = (by - ay) * (cx_ - bx);
+        double detright = (bx - ax) * (cy_ - by);
+        double det = detleft - detright;
+        double detsum = std::abs(detleft) + std::abs(detright);
+        // filter: 2^-52-scale error bound on the naive evaluation
+        if (std::abs(det) >= 1e-14 * detsum) return det;
+
+        // exact-ish fallback: evaluate with error-free transforms in
+        // double-double; enough headroom for coordinates up to ~1e12
+        double l1, l1e, l2, l2e, r1, r1e, r2, r2e;
+        two_diff(by, ay, &l1, &l1e);
+        two_diff(cx_, bx, &l2, &l2e);
+        two_diff(bx, ax, &r1, &r1e);
+        two_diff(cy_, by, &r2, &r2e);
+        double p, pe;
+        two_prod(l1, l2, &p, &pe);
+        pe += l1 * l2e + l1e * l2;
+        double q, qe;
+        two_prod(r1, r2, &q, &qe);
+        qe += r1 * r2e + r1e * r2;
+        double hi, lo;
+        two_diff(p, q, &hi, &lo);
+        return hi + (lo + (pe - qe));
     }
 
     static double circumradius2(double ax, double ay, double bx, double by,

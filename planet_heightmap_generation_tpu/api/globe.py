@@ -1,0 +1,129 @@
+"""Renderer bridge — per-halfedge globe geometry buffers + self-contained
+WebGL viewer export.
+
+Re-design of the reference's buildMesh (js/planet-mesh.js:620-836): one
+triangle per half-edge — (inner triangle center, outer triangle center,
+region point) — with radial displacement ``1 + elev*0.04`` (ocean depth
+damped x0.3) and per-vertex colors from any inspect layer. The reference
+uploads these to Three.js; here they are plain typed buffers any frontend
+can consume, plus ``export_globe`` which writes a dependency-free WebGL2
+HTML viewer (viewer/globe.html) next to the binary — open it in a browser
+and drag to orbit, wheel to zoom (js/scene.js:7-175's camera analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, Optional
+
+import numpy as np
+
+OCEAN_DEPTH_SCALE = 0.3
+DISPLACE = 0.04  # js/planet-mesh.js globe displacement scale
+
+
+def _halfedge_triangles(triangles: np.ndarray, n_total: int):
+    """For each directed edge (a→b) of the triangulation: the triangle
+    containing it (inner) and the one containing (b→a) (outer)."""
+    t = len(triangles)
+    a = triangles[:, 0].astype(np.int64)
+    b = triangles[:, 1].astype(np.int64)
+    c = triangles[:, 2].astype(np.int64)
+    src = np.concatenate([a, b, c])
+    dst = np.concatenate([b, c, a])
+    tri_id = np.tile(np.arange(t, dtype=np.int32), 3)
+
+    key = src * n_total + dst
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+
+    rev = dst * n_total + src
+    pos = np.searchsorted(key_sorted, rev)
+    pos = np.clip(pos, 0, len(key_sorted) - 1)
+    has_twin = key_sorted[pos] == rev
+    outer = np.where(has_twin, tri_id[order][pos], tri_id)
+    return src.astype(np.int32), dst.astype(np.int32), tri_id, \
+        outer.astype(np.int32), has_twin
+
+
+def _displace(elev):
+    e = np.asarray(elev, np.float32)
+    return 1.0 + DISPLACE * np.where(e > 0, e, e * OCEAN_DEPTH_SCALE)
+
+
+def build_globe_geometry(result, layer: str = "terrain",
+                         colors: Optional[np.ndarray] = None) -> Dict:
+    """Typed geometry buffers for the displaced Voronoi globe.
+
+    Returns dict(positions [S,3,3] f32, colors [S,3,3] f32, counts) where S
+    = halfedge count (3T). Vertex order per halfedge triangle: inner
+    triangle center, outer triangle center, region point — the reference's
+    exact decomposition (js/planet-mesh.js:620-720), so its Three.js
+    frontend could consume these buffers directly.
+    """
+    from .layers import layer_color
+
+    graph = result.graph
+    n_total = graph.n_cells
+    tris = graph.triangles
+
+    if colors is None:
+        colors = np.asarray(layer_color(result, layer), np.float32)
+
+    t_pos = graph.t_pos                                  # [T,3]
+    t_elev = np.asarray(result.t_elevation, np.float32)  # [T]
+    elev = np.asarray(result.elevation, np.float32)
+
+    src, dst, inner_t, outer_t, has_twin = _halfedge_triangles(tris, n_total)
+    keep = has_twin  # boundary halfedges (none on a closed sphere) dropped
+    src, inner_t, outer_t = src[keep], inner_t[keep], outer_t[keep]
+
+    v_inner = t_pos[inner_t] * _displace(t_elev[inner_t])[:, None]
+    v_outer = t_pos[outer_t] * _displace(t_elev[outer_t])[:, None]
+    v_region = graph.pos[src] * _displace(elev[src])[:, None]
+    positions = np.stack([v_inner, v_outer, v_region], axis=1)  # [S,3,3]
+
+    # winding fix: outward normals (js/planet-mesh.js:724-733)
+    e1 = positions[:, 1] - positions[:, 0]
+    e2 = positions[:, 2] - positions[:, 0]
+    nrm = np.cross(e1, e2)
+    inward = np.einsum("sc,sc->s", nrm, graph.pos[src]) < 0
+    positions[inward] = positions[inward][:, [0, 2, 1]]
+
+    col = colors[src].astype(np.float32)                  # [S,3]
+    col3 = np.repeat(col[:, None, :], 3, axis=1)          # flat per region
+
+    return dict(positions=positions.astype(np.float32), colors=col3,
+                num_triangles=len(positions), num_cells=n_total)
+
+
+_VIEWER = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "viewer", "globe.html")
+
+
+def export_globe(result, out_dir: str, layer: str = "terrain") -> str:
+    """Write globe geometry (positions f32 + colors u8 binary), a manifest,
+    and the self-contained WebGL viewer into ``out_dir``. Returns the path
+    of the viewer HTML (open in any browser; serves via file:// or any
+    static server)."""
+    geo = build_globe_geometry(result, layer)
+    os.makedirs(out_dir, exist_ok=True)
+
+    pos = geo["positions"].reshape(-1, 3)
+    col = np.clip(geo["colors"].reshape(-1, 3) * 255 + 0.5,
+                  0, 255).astype(np.uint8)
+    with open(os.path.join(out_dir, "globe.bin"), "wb") as f:
+        f.write(pos.astype("<f4").tobytes())
+        f.write(col.tobytes())
+    manifest = dict(
+        vertices=int(len(pos)), layer=layer,
+        positions_bytes=int(pos.nbytes), colors_bytes=int(col.nbytes),
+        num_cells=geo["num_cells"])
+    with open(os.path.join(out_dir, "globe.json"), "w") as f:
+        json.dump(manifest, f)
+
+    html = os.path.join(out_dir, "globe.html")
+    shutil.copyfile(_VIEWER, html)
+    return html

@@ -123,6 +123,13 @@ def main(argv=None):
     ins.add_argument("--lat", type=float, required=True)
     ins.add_argument("--lon", type=float, required=True)
 
+    gl = sub.add_parser(
+        "globe", help="generate + export the interactive WebGL globe viewer")
+    add_gen_args(gl)
+    gl.add_argument("--layer", default="terrain")
+    gl.add_argument("--dir", dest="out_dir", default="globe_out",
+                    help="output directory for globe.html/json/bin")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "code":
@@ -145,6 +152,19 @@ def main(argv=None):
         print(result.timing.table())
         print("diagnostics:", result.diagnostics())
         _save_result(result, args.out)
+        return
+
+    if args.cmd == "globe":
+        from .pipeline import PlanetEngine
+        from .api.globe import export_globe
+        params = _params_from_args(args)
+        engine = PlanetEngine()
+        result = engine.generate(
+            params, on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
+        print("diagnostics:", result.diagnostics())
+        html = export_globe(result, args.out_dir, layer=args.layer)
+        print(f"globe viewer written: {html}")
+        print(f"serve with: python -m http.server -d {args.out_dir}")
         return
 
     if args.cmd == "sweep":

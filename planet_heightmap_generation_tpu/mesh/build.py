@@ -193,9 +193,12 @@ def build_sphere(
     pole_id = n
     if native is not None:
         simplices, hull_cycle = _native_delaunay(native[0], flat)
-        # Pole closure from the hull CYCLE: consecutive pairs are hull edges.
+        # Pole closure from the hull CYCLE: consecutive pairs are hull
+        # edges, stitched in the REVERSE direction of how they appear in
+        # the hull triangles so every directed edge keeps exactly one twin
+        # (a watertight halfedge surface for the renderer bridge).
         pole_tris = np.stack(
-            [hull_cycle, np.roll(hull_cycle, -1),
+            [np.roll(hull_cycle, -1), hull_cycle,
              np.full(len(hull_cycle), pole_id, dtype=np.int32)], axis=1)
     else:
         tri = Delaunay(flat)
