@@ -106,7 +106,9 @@ def main(argv=None):
 
     i = sub.add_parser("import-heightmap", help="grayscale equirect import")
     add_gen_args(i)
-    i.add_argument("--image", required=True, help=".npy grayscale [H,W] 0-255")
+    i.add_argument("--image", required=True,
+                   help="equirect heightmap: .png (luminance extracted, "
+                        "js/import-main.js:60-63) or .npy grayscale 0-255")
 
     c = sub.add_parser("code", help="print the planet code for parameters")
     add_gen_args(c)
@@ -203,8 +205,9 @@ def main(argv=None):
 
     if args.cmd == "import-heightmap":
         from .pipeline import PlanetEngine
+        from .api.imageio import load_heightmap_gray
         params = _params_from_args(args)
-        img = np.load(args.image)
+        img = load_heightmap_gray(args.image)
         engine = PlanetEngine()
         result = engine.import_heightmap(
             img.astype(np.float32).ravel(), img.shape[1], img.shape[0], params)

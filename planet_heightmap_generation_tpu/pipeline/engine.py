@@ -246,6 +246,28 @@ class PlanetEngine:
         self._mesh = mesh
         self._w: Optional[dict] = None
 
+    def _maybe_log_perf(self, params, timer, kind: str) -> None:
+        """Append a per-run timing record to PLANET_PERF_LOG (jsonl) — the
+        persisted form of the reference's per-run console timing tables
+        (js/generate.js:334-368), usable as a perf-regression series."""
+        import json
+        import os
+        import time
+
+        path = os.environ.get("PLANET_PERF_LOG")
+        if not path:
+            return
+        try:
+            rec = dict(
+                t=round(time.time(), 3), kind=kind, n_cells=params.n_cells,
+                seed=params.seed, fused=not self._timing,
+                total_ms=round(timer.total_ms, 1),
+                stages={k: round(v, 2) for k, v in timer.stages})
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
     # ── generate ─────────────────────────────────────────────────────
     def generate(self, params: GenerationParams,
                  on_progress: Optional[Callable] = None) -> PlanetResult:
@@ -365,6 +387,7 @@ class PlanetEngine:
             cached_ocean=(climate or {}).get("ocean"),
         )
 
+        self._maybe_log_perf(params, timer, "generate")
         return PlanetResult(
             graph=graph, params=params, r_plate=r_plate,
             plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
@@ -458,6 +481,7 @@ class PlanetEngine:
             t_elev = _triangle_elevations(
                 elevation, jnp.asarray(w["graph"].triangles))
 
+        self._maybe_log_perf(params, timer, "reapply")
         return PlanetResult(
             graph=w["graph"], params=params, r_plate=w["r_plate"],
             plate_seeds=w["plates"].seeds,
@@ -558,6 +582,7 @@ class PlanetEngine:
                  ocean_seeds=elev_res.ocean_seeds, stress=elev_res.stress,
                  hotspot=elev_res.debug.get("hotspot"))
 
+        self._maybe_log_perf(params, timer, "edit_recompute")
         return PlanetResult(
             graph=graph, params=params, r_plate=w["r_plate"],
             plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
@@ -685,6 +710,7 @@ class PlanetEngine:
             cached_ocean=(climate or {}).get("ocean"),
         )
 
+        self._maybe_log_perf(params, timer, "import_heightmap")
         return PlanetResult(
             graph=graph, params=params, r_plate=r_plate,
             plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
