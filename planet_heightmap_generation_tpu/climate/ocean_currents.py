@@ -112,25 +112,27 @@ def _classify_warmth(is_ocean, lat, west_dist, east_dist, fade_range, shift_deg)
     return jnp.where(is_ocean, jnp.clip(warm, -1.0, 1.0), 0.0).astype(jnp.float32)
 
 
-def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict) -> Dict:
+def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
+                           coast_d=None) -> Dict:
+    """``coast_d``: precomputed columns 2-4 of the merged climate coast BFS
+    (wind.coast_bfs_seeds) — all/west/east coast distances through ocean."""
     n = g.n_cells
     avg_edge_km = (math.pi * 6371) / math.sqrt(n)
     is_ocean = (~wind["r_is_land"]) & g.valid
     lat, lon = wind["r_lat"], wind["r_lon"]
 
-    coast, west, east_c = _coast_classification(
-        g.pos, is_ocean, wind["r_east"], g.nbr_idx, g.nbr_mask)
-
-    barrier = ~is_ocean
-    # the three coast distance fields relax together ([N,3], one gather/sweep)
-    d3 = bfs_hops_multi(
-        jnp.stack([coast, west, east_c], 1),
-        jnp.stack([barrier, barrier, barrier], 1),
-        g.nbr_idx, g.nbr_mask)
-    d_all = d3[:, 0]
+    if coast_d is None:
+        coast, west, east_c = _coast_classification(
+            g.pos, is_ocean, wind["r_east"], g.nbr_idx, g.nbr_mask)
+        barrier = ~is_ocean
+        # the three coast fields relax together ([N,3], one gather/sweep)
+        coast_d = bfs_hops_multi(
+            jnp.stack([coast, west, east_c], 1),
+            jnp.stack([barrier, barrier, barrier], 1),
+            g.nbr_idx, g.nbr_mask)
     # convert inf → -1 convention of the reference
-    d_west = jnp.where(jnp.isfinite(d3[:, 1]), d3[:, 1], -1.0)
-    d_east = jnp.where(jnp.isfinite(d3[:, 2]), d3[:, 2], -1.0)
+    d_west = jnp.where(jnp.isfinite(coast_d[:, 1]), coast_d[:, 1], -1.0)
+    d_east = jnp.where(jnp.isfinite(coast_d[:, 2]), coast_d[:, 2], -1.0)
 
     circ_nh = _circumpolar(lat, lon, is_ocean, g.valid, 60 * DEG, 5 * DEG)
     circ_sh = _circumpolar(lat, lon, is_ocean, g.valid, -60 * DEG, 5 * DEG)

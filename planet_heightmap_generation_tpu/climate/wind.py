@@ -190,15 +190,54 @@ def _pressure_to_wind(grad_e, grad_n, sin_lat):
     return we.astype(jnp.float32), wn.astype(jnp.float32), jnp.sqrt(we * we + wn * wn).astype(jnp.float32)
 
 
+def coast_bfs_seeds(g: DeviceGraph, elev, plate_is_ocean, r_plate):
+    """Seeds/barriers for ALL five coast-distance BFS fields the climate
+    stack needs (wind continentality + plate variant, ocean all/west/east
+    coast) so one bfs_hops_multi loop can relax them together — TPU gathers
+    are index-bound, so five fields cost ~one. Returns (seeds [N,5],
+    barriers [N,5], aux dict)."""
+    gf = geo_frame(g.pos)
+    is_land = (elev > 0) & g.valid
+    is_ocean_cell = (~is_land) & g.valid
+    main_ocean = open_ocean_mask(is_ocean_cell, g.nbr_idx, g.nbr_mask,
+                                 g.valid)
+    coast_seeds = is_land & jnp.any(
+        main_ocean[g.nbr_idx] & g.nbr_mask, axis=1)
+    plate_land = (~plate_is_ocean[r_plate]) & g.valid
+    p_seeds = plate_land & jnp.any(
+        (plate_is_ocean[r_plate][g.nbr_idx]) & g.nbr_mask, axis=1)
+
+    # ocean coast classification (js/ocean.js:13-55)
+    land_nb = is_land[g.nbr_idx] & g.nbr_mask
+    d = g.pos[g.nbr_idx] - g.pos[:, None, :]
+    land_dir = jnp.sum(jnp.where(land_nb[:, :, None], d, 0.0), axis=1)
+    coast_o = is_ocean_cell & land_nb.any(axis=1)
+    normal_e = jnp.einsum("nc,nc->n", land_dir, gf.east)
+    # js/ocean.js:35's branch structure reduces to normal_e <= 0
+    west = coast_o & (normal_e <= 0)
+    east_c = coast_o & (~west)
+
+    seeds = jnp.stack([coast_seeds, p_seeds, coast_o, west, east_c], 1)
+    barriers = jnp.stack([~is_land, ~plate_land, is_land, is_land,
+                          is_land], 1)
+    aux = dict(gf=gf, is_land=is_land, plate_land=plate_land,
+               is_ocean_cell=is_ocean_cell)
+    return seeds, barriers, aux
+
+
 def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
-                 noise_t: Tables, seed: int = 0) -> Dict:
+                 noise_t: Tables, seed: int = 0, coast_d=None,
+                 gf=None, is_land=None, plate_land=None) -> Dict:
     """Full wind stage (js/wind.js:394-687). Returns dict of device arrays +
-    host ITCZ metadata."""
+    host ITCZ metadata. ``coast_d`` (+ the aux fields): precomputed columns
+    0-1 of the merged climate coast BFS (see :func:`coast_bfs_seeds`)."""
     n = g.n_cells
     avg_edge_km = (math.pi * 6371) / math.sqrt(n)
 
-    gf = geo_frame(g.pos)
-    is_land = (elev > 0) & g.valid
+    if gf is None:
+        gf = geo_frame(g.pos)
+    if is_land is None:
+        is_land = (elev > 0) & g.valid
 
     # ITCZ — fully on device (bin aggregates → circular samples → spline),
     # so the wind stage runs with zero host round trips
@@ -207,20 +246,18 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     sp_winter = _build_periodic_spline(_itcz_latitudes(cnt, land_cnt, esum, -1.0))
 
     # continentality: BFS from main-ocean coast through land
-    # (js/wind.js:476-554) + the plate-based variant (:556-593) — the two
-    # distance fields relax together ([N,2], one gather per sweep)
-    is_ocean_cell = (~is_land) & g.valid
-    main_ocean = open_ocean_mask(is_ocean_cell, g.nbr_idx, g.nbr_mask, g.valid)
-    coast_seeds = is_land & jnp.any(
-        main_ocean[g.nbr_idx] & g.nbr_mask, axis=1)
-    plate_land = (~plate_is_ocean[r_plate]) & g.valid
-    p_seeds = plate_land & jnp.any(
-        (plate_is_ocean[r_plate][g.nbr_idx]) & g.nbr_mask, axis=1)
-    d2 = bfs_hops_multi(
-        jnp.stack([coast_seeds, p_seeds], 1),
-        jnp.stack([~is_land, ~plate_land], 1),
-        g.nbr_idx, g.nbr_mask)
-    coast_dist, p_dist = d2[:, 0], d2[:, 1]
+    # (js/wind.js:476-554) + the plate-based variant (:556-593). When the
+    # caller (fused pipeline) precomputed the merged 5-field climate BFS,
+    # columns 0-1 arrive via ``coast_d``; standalone calls relax the pair
+    # here ([N,2], one gather per sweep).
+    if coast_d is None:
+        seeds5, barriers5, aux = coast_bfs_seeds(
+            g, elev, plate_is_ocean, r_plate)
+        d2 = bfs_hops_multi(seeds5[:, :2], barriers5[:, :2],
+                            g.nbr_idx, g.nbr_mask)
+        coast_d = d2
+        plate_land = aux["plate_land"]
+    coast_dist, p_dist = coast_d[:, 0], coast_d[:, 1]
     cont2 = jnp.stack([
         jnp.where(is_land & jnp.isfinite(coast_dist),
                   smoothstep(0.0, 2000.0, coast_dist * avg_edge_km), 0.0),

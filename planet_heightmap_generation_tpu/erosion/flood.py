@@ -155,16 +155,25 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
     l = jnp.ones(n, jnp.float32)
     p = jnp.where(land, drain, n).astype(jnp.int32)
 
-    def step(carry, _):
-        m, l, p = carry
-        mp = jnp.concatenate([m, jnp.array([-jnp.inf], m.dtype)])[p]
-        lp = jnp.concatenate([l, jnp.array([0.0], l.dtype)])[p]
-        pp = jnp.concatenate([p, jnp.array([n], p.dtype)])[p]
-        m2 = jnp.maximum(m, mp + l * EPS)
-        l2 = l + lp
-        return (m2, l2, pp), None
+    def cond(state):
+        i, _, _, p = state
+        return (i < rounds) & jnp.any(p != n)
 
-    (m, _, _), _ = jax.lax.scan(step, (m, l, p), None, length=rounds)
+    def body(state):
+        # one packed [N+1,3] gather per round (index-bound on TPU)
+        i, m, l, p = state
+        packed = jnp.stack([
+            jnp.concatenate([m, jnp.array([-jnp.inf], m.dtype)]),
+            jnp.concatenate([l, jnp.array([0.0], l.dtype)]),
+            jnp.concatenate([p, jnp.array([n], p.dtype)]).view(jnp.float32),
+        ], axis=1)
+        gp = packed[p]
+        m2 = jnp.maximum(m, gp[:, 0] + l * EPS)
+        l2 = l + gp[:, 1]
+        pp = gp[:, 2].view(jnp.int32)
+        return i + 1, m2, l2, pp
+
+    _, m, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), m, l, p))
     out = jnp.where(land, jnp.maximum(elev, m), elev)
     return out.astype(jnp.float32)
 

@@ -107,26 +107,42 @@ def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
     if rounds <= 0:
         rounds = _log_rounds(n)
 
-    # affine composition toward roots: h'_i = A_i + B_i * term[root_i]
+    # affine composition toward roots: h'_i = A_i + B_i * term[root_i].
+    # Each round's four neighbor reads (A, B, next pointer, activity) pack
+    # into ONE [N+1,4] gather — TPU gathers are index-bound, so packing is
+    # ~4x per round (pointer bitcast to f32 rides the float gather).
     p = jnp.where(active, rcv_c, n).astype(jnp.int32)
 
-    def step(carry, _):
-        A, B, p = carry
-        Ap = jnp.concatenate([A, jnp.array([0.0], A.dtype)])[p]
-        Bp = jnp.concatenate([B, jnp.array([1.0], B.dtype)])[p]
-        pp = jnp.concatenate([p, jnp.array([n], p.dtype)])[p]
+    def cond(state):
+        i, _, _, _, changed = state
+        return (i < rounds) & changed
+
+    def body(state):
+        i, A, B, p, _ = state
+        packed = jnp.stack([
+            jnp.concatenate([A, jnp.array([0.0], A.dtype)]),
+            jnp.concatenate([B, jnp.array([1.0], B.dtype)]),
+            jnp.concatenate(
+                [p, jnp.array([n], p.dtype)]).view(jnp.float32),
+            jnp.concatenate(
+                [active, jnp.array([False])]).astype(jnp.float32),
+        ], axis=1)                                           # [N+1, 4]
+        gp = packed[p]                                       # [N, 4]
+        Ap, Bp = gp[:, 0], gp[:, 1]
+        pp = gp[:, 2].view(jnp.int32)
+        active_p = gp[:, 3] > 0.5
         # only compose when p is a real cell that itself is active; when p
         # points at a root (inactive cell), B*term resolves at the end.
-        is_real = p < n
-        active_p = jnp.concatenate([active, jnp.array([False])])[p]
-        A2 = jnp.where(is_real & active_p, A + B * Ap, A)
-        B2 = jnp.where(is_real & active_p, B * Bp, B)
-        p2 = jnp.where(is_real & active_p, pp, p)
-        return (A2, B2, p2), None
+        ok = (p < n) & active_p
+        A2 = jnp.where(ok, A + B * Ap, A)
+        B2 = jnp.where(ok, B * Bp, B)
+        p2 = jnp.where(ok, pp, p)
+        return i + 1, A2, B2, p2, jnp.any(ok)
 
-    (A, B, p), _ = jax.lax.scan(
-        step, (a.astype(jnp.float32), b.astype(jnp.float32), p), None,
-        length=rounds)
+    _, A, B, p, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), a.astype(jnp.float32), b.astype(jnp.float32), p,
+         jnp.bool_(True)))
 
     root_term = jnp.concatenate([term, jnp.array([0.0], term.dtype)])[p]
     h_new = jnp.where(active, A + B * root_term, elev)

@@ -32,13 +32,16 @@ from ..ops.rng import ParkMiller
 _PAD_MULTIPLE = 1024
 
 # Fixed neighbor-array width. Fibonacci-Delaunay degree is ~6 (5/7
-# outliers); only the stitched pole vertex and rare jitter artifacts exceed
-# it. A FIXED width keeps every [N,K] kernel's jit signature identical
-# across seeds and resolutions — the raw max degree is data-dependent and
-# would recompile the whole pipeline per planet. Vertices with more
-# neighbors keep their K_FIXED nearest (a sub-degree-truncation only ever
-# observed at the pole, where the hull fan is mutually adjacent anyway).
-K_FIXED = 12
+# outliers, ~1.3% of jittered cells at 9-11, plus the pole fan). A FIXED
+# width keeps every [N,K] kernel's jit signature identical across seeds and
+# resolutions — the raw max degree is data-dependent and would recompile
+# the whole pipeline per planet. K=8 (a lane-friendly width) covers 98.7%
+# of cells fully; over-degree cells keep their 8 nearest (dropped edges
+# removed symmetrically). TPU gathers are index-bound and K multiplies the
+# index count of EVERY neighbor pass, so the narrow width buys ~33% on the
+# whole pipeline over K=12 for a structural deviation confined to the
+# longest edges of rare high-degree cells (aesthetics-first tolerance).
+K_FIXED = 8
 
 
 def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndarray:

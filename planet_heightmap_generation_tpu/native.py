@@ -30,7 +30,7 @@ def _compile() -> bool:
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                [cc, "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
                  "-o", _SO, _SRC],
                 check=True, capture_output=True, timeout=120)
             return True
@@ -91,7 +91,7 @@ def _compile_mesh() -> bool:
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                [cc, "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
                  "-o", _MESH_SO, _MESH_SRC],
                 check=True, capture_output=True, timeout=180)
             return True

@@ -140,8 +140,19 @@ def _pipeline(spec: FusedSpec, g: DeviceGraph, proj, plate, sup,
     )
 
     if not spec.skip_climate:
-        wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t)
-        ocean = compute_ocean_currents(g, elevation, wind)
+        # all five climate coast-distance fields (wind continentality pair
+        # + ocean all/west/east coast) relax in ONE [N,5] BFS loop
+        from ..climate.wind import coast_bfs_seeds
+        from ..ops.graph import bfs_hops_multi
+        seeds5, barriers5, aux = coast_bfs_seeds(
+            g, elevation, p_ocean, r_plate)
+        d5 = bfs_hops_multi(seeds5, barriers5, g.nbr_idx, g.nbr_mask)
+        wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
+                            coast_d=d5[:, :2], gf=aux["gf"],
+                            is_land=aux["is_land"],
+                            plate_land=aux["plate_land"])
+        ocean = compute_ocean_currents(g, elevation, wind,
+                                       coast_d=d5[:, 2:])
         precip = compute_precipitation(
             g, elevation, wind, ocean,
             p.precipitation_offset, p.land_coverage)

@@ -271,10 +271,15 @@ def _python_fill(graph, pos, r_plate, seeds_arr,
                 idxs = (randint.take(samples) * fl).astype(np.int64)
                 cells = frontier[pid, idxs]
                 dv = pos[cells] - sp
-                dlen_sq = np.einsum("ij,ij->i", dv, dv)
+                # explicit left-to-right sums (NOT einsum/@): BLAS kernels
+                # use FMA/reordered accumulation, which diverges from the
+                # plain C arithmetic of the native fill at near-ties
+                dlen_sq = (dv[:, 0] * dv[:, 0] + dv[:, 1] * dv[:, 1]
+                           + dv[:, 2] * dv[:, 2])
                 dlen = np.sqrt(dlen_sq)
                 dlen[dlen == 0] = 1.0
-                alignment = (dv @ dvec) / dlen
+                alignment = (dv[:, 0] * dvec[0] + dv[:, 1] * dvec[1]
+                             + dv[:, 2] * dvec[2]) / dlen
                 excess = np.maximum(0.0, dlen_sq * 0.5 - compact_threshold)
                 penalty = excess * (compact_weight * 4)
                 scores = alignment * dstr + rng.take(samples) * (1 - dstr * 0.5) - penalty

@@ -59,12 +59,21 @@ def test_degrees_are_fibonacci_like(tiny_sphere):
 
 
 def test_euler_characteristic(tiny_sphere):
-    """V - E + F = 2 for a watertight sphere triangulation."""
+    """V - E + F = 2 for a watertight sphere triangulation. Edges counted
+    from the triangulation; the K_FIXED adjacency is a symmetric subgraph
+    covering all but the rare over-degree cells' longest edges."""
     g = tiny_sphere
     v = g.n_cells
-    e = int(g.nbr_mask.sum()) // 2
+    tri_edges = set()
+    for a, b, c in g.triangles:
+        for x, y in ((a, b), (b, c), (c, a)):
+            tri_edges.add((min(x, y), max(x, y)))
     f = len(g.triangles)
-    assert v - e + f == 2
+    assert v - len(tri_edges) + f == 2
+    # adjacency ⊆ triangulation edges, ≥98% coverage
+    adj = int(g.nbr_mask.sum()) // 2
+    assert adj <= len(tri_edges)
+    assert adj >= 0.98 * len(tri_edges)
 
 
 def test_neighbor_dist_positive(tiny_sphere):

@@ -1,0 +1,121 @@
+"""Cross-validation against the reference + self-regression snapshots.
+
+SURVEY §4c calls for running the JS reference in Node and comparing
+distributional metrics (exact-seed parity is out of scope: RNG consumption
+order differs wherever sequential loops became parallel — SURVEY §7 hard
+part 5). This container has NO JavaScript runtime (no node/deno/quickjs),
+so the dumps cannot be produced here; tools/reference_dump.mjs produces
+them on any machine with node, and the comparison tests activate when
+tools/reference_dumps/<name>.json exist.
+
+Until then, the committed SELF-snapshot pins this implementation's
+distributional behavior for a fixed config, so unintended drift between
+build rounds fails loudly.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from planet_heightmap_generation_tpu.config import GenerationParams
+from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+
+DUMP_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools", "reference_dumps")
+
+# keep in sync with tools/reference_dump.mjs CONFIGS
+CONFIGS = dict(
+    c40k_s42=dict(seed=42, n_cells=40000, n_plates=80, num_continents=4),
+    c40k_s7=dict(seed=7, n_cells=40000, n_plates=80, num_continents=4),
+    c20k_s123=dict(seed=123, n_cells=20000, n_plates=40, num_continents=3),
+)
+
+# Self-snapshot of THIS implementation for c20k_s123 (full climate,
+# default sliders) — regenerate with the script in the commit that
+# changes expected behavior, never to paper over accidental drift.
+SNAPSHOT = dict(
+    land_fraction=0.28279,
+    elevation_hist=[0.0, 0.0, 0.0014, 0.0109, 0.05615, 0.082, 0.19854,
+                    0.12154, 0.16224, 0.08445, 0.0213, 0.02255, 0.08875,
+                    0.07845, 0.0355, 0.01875, 0.00945, 0.00395, 0.00185,
+                    0.00225],
+    koppen_top={0: 0.7172, 6: 0.0604, 3: 0.0502, 1: 0.0347,
+                29: 0.031, 19: 0.0223, 30: 0.018, 4: 0.0158},
+    plate_count=40,
+)
+
+
+def _metrics(result):
+    n = result.graph.n_cells
+    e = np.asarray(result.elevation)[:n]
+    hist = np.histogram(np.clip(e, -1, 1 - 1e-6), bins=20,
+                        range=(-1, 1))[0] / n
+    kop = np.asarray(result.climate["koppen"])[:n]
+    kd = {int(k): v / n for k, v in
+          zip(*np.unique(kop, return_counts=True))}
+    return dict(
+        land_fraction=float((e > 0).mean()),
+        elevation_hist=hist.tolist(),
+        koppen_dist=kd,
+        plate_count=len(np.unique(np.asarray(result.r_plate)[:n])),
+    )
+
+
+@pytest.fixture(scope="module")
+def snapshot_metrics():
+    params = GenerationParams(skip_climate=False, **CONFIGS["c20k_s123"])
+    return _metrics(PlanetEngine(timing=False).generate(params))
+
+
+def test_self_snapshot_land_fraction(snapshot_metrics):
+    assert abs(snapshot_metrics["land_fraction"]
+               - SNAPSHOT["land_fraction"]) < 0.02
+
+
+def test_self_snapshot_elevation_histogram(snapshot_metrics):
+    l1 = float(np.abs(np.asarray(snapshot_metrics["elevation_hist"])
+                      - np.asarray(SNAPSHOT["elevation_hist"])).sum())
+    assert l1 < 0.05, f"elevation distribution drifted (L1={l1:.3f})"
+
+
+def test_self_snapshot_koppen(snapshot_metrics):
+    kd = snapshot_metrics["koppen_dist"]
+    for cls, frac in SNAPSHOT["koppen_top"].items():
+        assert abs(kd.get(cls, 0.0) - frac) < 0.03, (cls, kd.get(cls), frac)
+
+
+def test_self_snapshot_plate_count(snapshot_metrics):
+    assert snapshot_metrics["plate_count"] == SNAPSHOT["plate_count"]
+
+
+def _dump_configs():
+    if not os.path.isdir(DUMP_DIR):
+        return []
+    return [n for n in CONFIGS if os.path.exists(
+        os.path.join(DUMP_DIR, f"{n}.json"))]
+
+
+@pytest.mark.parametrize("name", _dump_configs() or ["__no_dumps__"])
+def test_reference_distributional_parity(name):
+    """Active only when Node-produced reference dumps are present."""
+    if name == "__no_dumps__":
+        pytest.skip(
+            "no reference dumps: this environment has no JS runtime; run "
+            "tools/reference_dump.mjs with node to produce them")
+    dump = json.load(open(os.path.join(DUMP_DIR, f"{name}.json")))
+    ref = dump["metrics"]
+    params = GenerationParams(skip_climate=False, **CONFIGS[name])
+    ours = _metrics(PlanetEngine(timing=False).generate(params))
+    # distributional tolerance (SURVEY §7 hard part 5)
+    assert abs(ours["land_fraction"] - ref["land_fraction"]) < 0.06
+    l1 = float(np.abs(np.asarray(ours["elevation_hist"])
+                      - np.asarray(ref["elevation_hist"])).sum())
+    assert l1 < 0.35, f"elevation distribution vs reference (L1={l1:.3f})"
+    ref_kop = {int(k): v / sum(ref["koppen_dist"].values())
+               for k, v in ref["koppen_dist"].items()}
+    for cls, frac in sorted(ref_kop.items(), key=lambda kv: -kv[1])[:5]:
+        assert abs(ours["koppen_dist"].get(cls, 0.0) - frac) < 0.12
+    assert abs(ours["plate_count"] - ref["plate_count"]) <= \
+        max(3, 0.15 * ref["plate_count"])
