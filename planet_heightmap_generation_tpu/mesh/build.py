@@ -71,11 +71,12 @@ def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndar
 
     lat = np.radians(lat_deg)
     lon = np.radians(lon_deg)
-    xyz = np.stack(
-        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)],
-        axis=1,
-    )
-    return xyz.astype(np.float64)
+    xyz = np.empty((n, 3), np.float64)  # column fills avoid np.stack's copy
+    cl = np.cos(lat)
+    np.multiply(cl, np.cos(lon), out=xyz[:, 0])
+    np.multiply(cl, np.sin(lon), out=xyz[:, 1])
+    np.sin(lat, out=xyz[:, 2])
+    return xyz
 
 
 def _stereographic(xyz: np.ndarray) -> np.ndarray:
