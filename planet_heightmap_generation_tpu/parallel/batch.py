@@ -89,8 +89,8 @@ def generate_batch(params: GenerationParams, seeds: Sequence[int],
                 for i, s in enumerate(seeds)]
 
     if vmap_chunk <= 0:
-        # [B,N,K,~10] f32 transients; keep under ~2 GB
-        per_seed = params.n_cells * 12 * 10 * 4
+        # [B,N,K=8,~10-col] f32 transients; keep under ~2 GB
+        per_seed = params.n_cells * 8 * 10 * 4
         vmap_chunk = max(1, min(len(seeds), (2 << 30) // max(per_seed, 1)))
 
     results: List[PlanetResult] = []

@@ -457,29 +457,50 @@ class PlanetEngine:
             w["params"] = params
 
         prog(20, "Eroding terrain…")
-        with timer.stage("Terrain post-processing", sync=lambda: elevation):
-            elevation, erosion_delta = run_post_processing(
-                w["g"], w["pre_post"], w["seed"], dataclasses.asdict(params),
-                hotspot=w.get("hotspot"),
-                avg_edge=math.pi / math.sqrt(w["graph"].n_cells), warp_t=w.get("warp_t"))
-        w["elevation_final"] = elevation
+        if not self._timing:
+            # fused reapply tail: erosion + climate in one dispatch
+            from .fused import FusedSpec, fused_post_pipeline
 
-        debug = dict(erosionDelta=erosion_delta)
-        climate = None
-        if not skip_climate:
-            p_ocean = jnp.asarray(w["plates"].is_ocean)
-            climate = self._run_climate(
-                w["g"], elevation, p_ocean, w["r_plate"], w["seed"], params,
-                timer, prog, debug)
-            w["cached_wind"] = climate["wind"]
-            w["cached_ocean"] = climate["ocean"]
+            spec = FusedSpec.of(
+                params, w["plates"].num_plates, False, False, 0, 0,
+                skip_climate)
+            hot = w.get("hotspot")
+            if hot is None:
+                hot = jnp.zeros_like(w["pre_post"])
+            warp_t = w.get("warp_t") or tables(w["seed"] + 9999)
+            with timer.stage("Reapply pipeline (fused)"):
+                out = fused_post_pipeline(spec)(
+                    w["g"], w["pre_post"], hot,
+                    jnp.asarray(w["plates"].is_ocean), w["r_plate"],
+                    warp_t, tables(w["seed"]),
+                    jnp.asarray(w["graph"].triangles))
+            elevation = out["elevation"]
+            debug = out["debug"]
+            climate = out["climate"]
+            t_elev = out["t_elevation"]
         else:
-            w["cached_wind"] = None
-            w["cached_ocean"] = None
+            with timer.stage("Terrain post-processing",
+                             sync=lambda: elevation):
+                elevation, erosion_delta = run_post_processing(
+                    w["g"], w["pre_post"], w["seed"],
+                    dataclasses.asdict(params),
+                    hotspot=w.get("hotspot"),
+                    avg_edge=math.pi / math.sqrt(w["graph"].n_cells),
+                    warp_t=w.get("warp_t"))
+            debug = dict(erosionDelta=erosion_delta)
+            climate = None
+            if not skip_climate:
+                p_ocean = jnp.asarray(w["plates"].is_ocean)
+                climate = self._run_climate(
+                    w["g"], elevation, p_ocean, w["r_plate"], w["seed"],
+                    params, timer, prog, debug)
+            with timer.stage("Triangle elevations"):
+                t_elev = _triangle_elevations(
+                    elevation, jnp.asarray(w["graph"].triangles))
 
-        with timer.stage("Triangle elevations"):
-            t_elev = _triangle_elevations(
-                elevation, jnp.asarray(w["graph"].triangles))
+        w["elevation_final"] = elevation
+        w["cached_wind"] = (climate or {}).get("wind")
+        w["cached_ocean"] = (climate or {}).get("ocean")
 
         self._maybe_log_perf(params, timer, "reapply")
         return PlanetResult(
@@ -536,51 +557,87 @@ class PlanetEngine:
                 w["noise_pack"] = noise_pack
 
         prog(0, "Rebuilding elevation…")
-        with timer.stage("Elevation", sync=lambda: elev_res.elevation):
-            p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
-            kw = {}
-            if super_sp is not None:
-                kw = dict(
-                    r_super_plate=jnp.asarray(
-                        super_sp.plate_to_super.astype(np.int32))[w["r_plate"]],
-                    super_is_ocean=jnp.asarray(super_sp.is_ocean),
-                    super_pole=jnp.asarray(super_sp.pole.astype(np.float32)),
-                    super_omega=jnp.asarray(super_sp.omega.astype(np.float32)),
-                    super_density=jnp.asarray(super_sp.density.astype(np.float32)),
-                )
-            elev_res = assign_elevation(
-                g, w["r_plate"], p_ocean, p_pole, p_omega, p_dens,
-                seed=seed, noise_mag=params.roughness, spread=params.spread,
-                noise_pack=noise_pack, domes=domes, **kw)
-        pre_post = elev_res.elevation
+        p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
+        sup_arrays = None
+        if super_sp is not None:
+            sup_arrays = (
+                jnp.asarray(super_sp.plate_to_super.astype(np.int32)),
+                jnp.asarray(super_sp.is_ocean),
+                jnp.asarray(super_sp.pole.astype(np.float32)),
+                jnp.asarray(super_sp.omega.astype(np.float32)),
+                jnp.asarray(super_sp.density.astype(np.float32)),
+            )
 
-        prog(50, "Eroding terrain…")
-        with timer.stage("Terrain post-processing", sync=lambda: elevation):
-            elevation, erosion_delta = run_post_processing(
-                g, pre_post, seed, dataclasses.asdict(params),
-                hotspot=elev_res.debug.get("hotspot"),
-                avg_edge=math.pi / math.sqrt(graph.n_cells), warp_t=w.get("warp_t"))
-        debug = dict(elev_res.debug)
-        debug["erosionDelta"] = erosion_delta
+        if not self._timing and noise_pack is not None:
+            # fused edit tail: elevation → erosion → climate, one dispatch
+            from .fused import FusedSpec, fused_edit_pipeline
 
-        climate = None
-        if not skip_climate:
-            climate = self._run_climate(
-                g, elevation, jnp.asarray(plates.is_ocean), w["r_plate"],
-                seed, params, timer, prog, debug)
-            w["cached_wind"] = climate["wind"]
-            w["cached_ocean"] = climate["ocean"]
+            spec = FusedSpec.of(
+                params, plates.num_plates, sup_arrays is not None,
+                bool(domes), 0, 0, skip_climate)
+            warp_t = w.get("warp_t") or tables(seed + 9999)
+            with timer.stage("Edit pipeline (fused)"):
+                out = fused_edit_pipeline(spec)(
+                    g, w["r_plate"], (p_ocean, p_pole, p_omega, p_dens),
+                    sup_arrays, domes, noise_pack, warp_t, tables(seed),
+                    jnp.asarray(graph.triangles), jnp.uint32(seed))
+            pre_post = out["pre_post"]
+            elevation = out["elevation"]
+            debug = out["debug"]
+            climate = out["climate"]
+            t_elev = out["t_elevation"]
+            stress = out["stress"]
+            mountain = out["mountain"]
+            coastline = out["coastline"]
+            ocean_seeds = out["ocean_seeds"]
         else:
-            w["cached_wind"] = None
-            w["cached_ocean"] = None
+            with timer.stage("Elevation", sync=lambda: elev_res.elevation):
+                kw = {}
+                if sup_arrays is not None:
+                    kw = dict(
+                        r_super_plate=sup_arrays[0][w["r_plate"]],
+                        super_is_ocean=sup_arrays[1],
+                        super_pole=sup_arrays[2],
+                        super_omega=sup_arrays[3],
+                        super_density=sup_arrays[4],
+                    )
+                elev_res = assign_elevation(
+                    g, w["r_plate"], p_ocean, p_pole, p_omega, p_dens,
+                    seed=seed, noise_mag=params.roughness,
+                    spread=params.spread,
+                    noise_pack=noise_pack, domes=domes, **kw)
+            pre_post = elev_res.elevation
 
-        with timer.stage("Triangle elevations"):
-            t_elev = _triangle_elevations(elevation, jnp.asarray(graph.triangles))
+            prog(50, "Eroding terrain…")
+            with timer.stage("Terrain post-processing",
+                             sync=lambda: elevation):
+                elevation, erosion_delta = run_post_processing(
+                    g, pre_post, seed, dataclasses.asdict(params),
+                    hotspot=elev_res.debug.get("hotspot"),
+                    avg_edge=math.pi / math.sqrt(graph.n_cells),
+                    warp_t=w.get("warp_t"))
+            debug = dict(elev_res.debug)
+            debug["erosionDelta"] = erosion_delta
 
+            climate = None
+            if not skip_climate:
+                climate = self._run_climate(
+                    g, elevation, jnp.asarray(plates.is_ocean), w["r_plate"],
+                    seed, params, timer, prog, debug)
+            with timer.stage("Triangle elevations"):
+                t_elev = _triangle_elevations(
+                    elevation, jnp.asarray(graph.triangles))
+            stress = elev_res.stress
+            mountain = elev_res.mountain
+            coastline = elev_res.coastline
+            ocean_seeds = elev_res.ocean_seeds
+
+        w["cached_wind"] = (climate or {}).get("wind")
+        w["cached_ocean"] = (climate or {}).get("ocean")
         w.update(pre_post=pre_post, elevation_final=elevation,
-                 mountain=elev_res.mountain, coastline=elev_res.coastline,
-                 ocean_seeds=elev_res.ocean_seeds, stress=elev_res.stress,
-                 hotspot=elev_res.debug.get("hotspot"))
+                 mountain=mountain, coastline=coastline,
+                 ocean_seeds=ocean_seeds, stress=stress,
+                 hotspot=debug.get("hotspot"))
 
         self._maybe_log_perf(params, timer, "edit_recompute")
         return PlanetResult(
@@ -588,10 +645,10 @@ class PlanetEngine:
             plate_seeds=plates.seeds, plate_is_ocean=plates.is_ocean,
             plate_density=plates.density,
             pre_post_elevation=pre_post, elevation=elevation,
-            t_elevation=t_elev, stress=elev_res.stress,
-            mountain_mask=elev_res.mountain,
-            coastline_mask=elev_res.coastline,
-            ocean_seed_mask=elev_res.ocean_seeds,
+            t_elevation=t_elev, stress=stress,
+            mountain_mask=mountain,
+            coastline_mask=coastline,
+            ocean_seed_mask=ocean_seeds,
             climate=climate, debug=debug, timing=timer)
 
     # ── deferred climate ─────────────────────────────────────────────

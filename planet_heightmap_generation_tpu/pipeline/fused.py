@@ -95,16 +95,24 @@ def _pipeline(spec: FusedSpec, g: DeviceGraph, proj, plate, sup,
     from ..tectonics.coarse import _project_kernel
     from ..ops.noise import _GRAD_J
 
-    p = spec.params
-    n = g.n_cells
-    avg_edge_nom = math.pi / math.sqrt(n)
-
     perm, pm12, perturb_amp, bins_idx, bins_mask, bins_points, coarse_plate = proj
     r_plate = _project_kernel(
         g.pos, perm, pm12, _GRAD_J, perturb_amp,
         bins_idx, bins_mask, bins_points, coarse_plate,
         spec.n_lat, spec.n_lon)
     r_plate = smooth_and_reconnect(g, r_plate, spec.num_plates, 3)
+    return _pipeline_from_plates(spec, g, r_plate, plate, sup, domes, nt,
+                                 warp_t, climate_t, triangles, seed32)
+
+
+def _pipeline_from_plates(spec: FusedSpec, g: DeviceGraph, r_plate, plate,
+                          sup, domes: Dict, nt: Dict, warp_t, climate_t,
+                          triangles, seed32):
+    """The pipeline from an existing hi-res plate map — the editRecompute
+    span (js/planet-worker.js:442-577) and the tail of generate."""
+    p = spec.params
+    n = g.n_cells
+    avg_edge_nom = math.pi / math.sqrt(n)
 
     p_ocean, p_pole, p_omega, p_dens = plate
     kw = {}
@@ -142,47 +150,90 @@ def _pipeline(spec: FusedSpec, g: DeviceGraph, proj, plate, sup,
     if not spec.skip_climate:
         # all five climate coast-distance fields (wind continentality pair
         # + ocean all/west/east coast) relax in ONE [N,5] BFS loop
-        from ..climate.wind import coast_bfs_seeds
-        from ..ops.graph import bfs_hops_multi
-        seeds5, barriers5, aux = coast_bfs_seeds(
-            g, elevation, p_ocean, r_plate)
-        d5 = bfs_hops_multi(seeds5, barriers5, g.nbr_idx, g.nbr_mask)
-        wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
-                            coast_d=d5[:, :2], gf=aux["gf"],
-                            is_land=aux["is_land"],
-                            plate_land=aux["plate_land"])
-        ocean = compute_ocean_currents(g, elevation, wind,
-                                       coast_d=d5[:, 2:])
-        precip = compute_precipitation(
-            g, elevation, wind, ocean,
-            p.precipitation_offset, p.land_coverage)
-        temp = compute_temperature(
-            g, elevation, wind, ocean, precip, p.temperature_offset)
-        koppen = classify_koppen(
-            elevation, temp["r_temperature_summer"],
-            temp["r_temperature_winter"], precip["r_precip_summer"],
-            precip["r_precip_winter"])
-        out["climate"] = dict(wind=wind, ocean=ocean, precip=precip,
-                              temp=temp, koppen=koppen)
-        debug.update(
-            pressureSummer=wind["r_pressure_summer"],
-            pressureWinter=wind["r_pressure_winter"],
-            windSpeedSummer=wind["r_wind_speed_summer"],
-            windSpeedWinter=wind["r_wind_speed_winter"],
-            continentality=wind["r_continentality"],
-            precipSummer=precip["r_precip_summer"],
-            precipWinter=precip["r_precip_winter"],
-            rainShadowSummer=precip["r_rainshadow_summer"],
-            rainShadowWinter=precip["r_rainshadow_winter"],
-            tempSummer=temp["r_temperature_summer"],
-            tempWinter=temp["r_temperature_winter"],
-            koppen=koppen,
-        )
+        _climate_stack(spec, g, elevation, p_ocean, r_plate, climate_t,
+                       out, debug)
+    out["debug"] = debug
+    return out
+
+
+def _climate_stack(spec: FusedSpec, g, elevation, p_ocean, r_plate,
+                   climate_t, out, debug):
+    """Shared climate tail (wind → ocean → precip → temp → Köppen) with the
+    merged 5-field coast BFS; fills out['climate'] and the debug layers."""
+    from ..climate.wind import coast_bfs_seeds
+    from ..ops.graph import bfs_hops_multi
+
+    p = spec.params
+    seeds5, barriers5, aux = coast_bfs_seeds(g, elevation, p_ocean, r_plate)
+    d5 = bfs_hops_multi(seeds5, barriers5, g.nbr_idx, g.nbr_mask)
+    wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
+                        coast_d=d5[:, :2], gf=aux["gf"],
+                        is_land=aux["is_land"],
+                        plate_land=aux["plate_land"])
+    ocean = compute_ocean_currents(g, elevation, wind, coast_d=d5[:, 2:])
+    precip = compute_precipitation(
+        g, elevation, wind, ocean, p.precipitation_offset, p.land_coverage)
+    temp = compute_temperature(
+        g, elevation, wind, ocean, precip, p.temperature_offset)
+    koppen = classify_koppen(
+        elevation, temp["r_temperature_summer"],
+        temp["r_temperature_winter"], precip["r_precip_summer"],
+        precip["r_precip_winter"])
+    out["climate"] = dict(wind=wind, ocean=ocean, precip=precip,
+                          temp=temp, koppen=koppen)
+    debug.update(
+        pressureSummer=wind["r_pressure_summer"],
+        pressureWinter=wind["r_pressure_winter"],
+        windSpeedSummer=wind["r_wind_speed_summer"],
+        windSpeedWinter=wind["r_wind_speed_winter"],
+        continentality=wind["r_continentality"],
+        precipSummer=precip["r_precip_summer"],
+        precipWinter=precip["r_precip_winter"],
+        rainShadowSummer=precip["r_rainshadow_summer"],
+        rainShadowWinter=precip["r_rainshadow_winter"],
+        tempSummer=temp["r_temperature_summer"],
+        tempWinter=temp["r_temperature_winter"],
+        koppen=koppen,
+    )
+
+
+def _post_pipeline(spec: FusedSpec, g, pre_post, hotspot, p_ocean, r_plate,
+                   warp_t, climate_t, triangles):
+    """Fused reapply / import tail: erosion post-processing from a retained
+    pre-post elevation + the climate stack (the worker's 'reapply' span,
+    js/planet-worker.js:341-440) — one dispatch, one sync."""
+    p = spec.params
+    avg_edge_nom = math.pi / math.sqrt(g.n_cells)
+    elevation, erosion_delta = run_post_processing(
+        g, pre_post, 0, dataclasses.asdict(p),
+        hotspot=hotspot, avg_edge=avg_edge_nom, warp_t=warp_t)
+    debug = dict(erosionDelta=erosion_delta)
+    out = dict(
+        elevation=elevation,
+        t_elevation=jnp.mean(elevation[triangles], axis=1),
+        climate=None,
+    )
+    if not spec.skip_climate:
+        _climate_stack(spec, g, elevation, p_ocean, r_plate, climate_t,
+                       out, debug)
     out["debug"] = debug
     return out
 
 
 _CACHE: Dict[FusedSpec, object] = {}
+_POST_CACHE: Dict[FusedSpec, object] = {}
+_EDIT_CACHE: Dict[FusedSpec, object] = {}
+
+
+def fused_edit_pipeline(spec: FusedSpec):
+    """Jitted elevation→erosion→climate from a retained plate map
+    (editRecompute), cached."""
+    fn = _EDIT_CACHE.get(spec)
+    if fn is None:
+        import functools
+        fn = jax.jit(functools.partial(_pipeline_from_plates, spec))
+        _EDIT_CACHE[spec] = fn
+    return fn
 
 
 def fused_pipeline(spec: FusedSpec):
@@ -192,4 +243,14 @@ def fused_pipeline(spec: FusedSpec):
         import functools
         fn = jax.jit(functools.partial(_pipeline, spec))
         _CACHE[spec] = fn
+    return fn
+
+
+def fused_post_pipeline(spec: FusedSpec):
+    """Jitted post+climate tail (reapply / import-heightmap), cached."""
+    fn = _POST_CACHE.get(spec)
+    if fn is None:
+        import functools
+        fn = jax.jit(functools.partial(_post_pipeline, spec))
+        _POST_CACHE[spec] = fn
     return fn

@@ -94,7 +94,21 @@ def _project_kernel(pos, perm, pm12, grad, perturb_amp,
     norm = jnp.where(norm == 0, 1.0, norm)
     q = jnp.stack([px / norm, py / norm, pz / norm], axis=1)
 
-    nearest = nearest_cell(bins_idx, bins_mask, bins_points, n_lat, n_lon, q)
+    # chunk the candidate lookup: the [chunk, K_c, 3] gather is the largest
+    # transient in the whole pipeline (K_c ≈ 64) — unchunked it allocates
+    # ~0.5 GB per 640K cells and the fused program OOMs at 640K+ cells.
+    npad = q.shape[0]
+    chunk = 65536
+    if npad <= chunk:
+        nearest = nearest_cell(bins_idx, bins_mask, bins_points,
+                               n_lat, n_lon, q)
+    else:
+        pad = (-npad) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
+        nearest = jax.lax.map(
+            lambda qc: nearest_cell(bins_idx, bins_mask, bins_points,
+                                    n_lat, n_lon, qc),
+            qp.reshape(-1, chunk, 3)).reshape(-1)[:npad]
     return coarse_plate_of_cell[nearest]
 
 

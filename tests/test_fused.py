@@ -24,19 +24,26 @@ def results():
     engine = PlanetEngine(timing=False)
     fused = engine.generate(PARAMS)
     fused2 = engine.generate(PARAMS.replace(seed=43))
-    staged = PlanetEngine(timing=True).generate(PARAMS)
-    return fused, fused2, staged
+    staged_engine = PlanetEngine(timing=True)
+    staged = staged_engine.generate(PARAMS)
+    # reapply/edit tails (fused vs staged) from the seed-43 retained state
+    staged_engine.generate(PARAMS.replace(seed=43))
+    re_fused = engine.reapply(sculpt=dict(smoothing=0.6))
+    re_staged = staged_engine.reapply(sculpt=dict(smoothing=0.6))
+    ed_fused = engine.edit_recompute((1,), skip_climate=True)
+    ed_staged = staged_engine.edit_recompute((1,), skip_climate=True)
+    return fused, fused2, staged, re_fused, re_staged, ed_fused, ed_staged
 
 
 def test_fused_matches_staged_elevation(results):
-    fused, _, staged = results
+    fused, _, staged, *_ = results
     a = np.asarray(fused.elevation)
     b = np.asarray(staged.elevation)
     assert np.abs(a - b).max() < 2e-3
 
 
 def test_fused_matches_staged_climate(results):
-    fused, _, staged = results
+    fused, _, staged, *_ = results
     k1 = np.asarray(fused.climate["koppen"])
     k2 = np.asarray(staged.climate["koppen"])
     # Köppen classes are discrete; fusion rounding may flip a handful of
@@ -52,7 +59,7 @@ def test_seed_changes_planet_without_retrace(results):
     seed-derived flows in as traced arrays (VERDICT.md round-1 item 3)."""
     from planet_heightmap_generation_tpu.pipeline import fused as fused_mod
 
-    fused, fused2, _ = results
+    fused, fused2, *_ = results
     assert not np.array_equal(np.asarray(fused.elevation),
                               np.asarray(fused2.elevation))
     # one spec in the cache, compiled exactly once despite two seeds
@@ -62,8 +69,28 @@ def test_seed_changes_planet_without_retrace(results):
 
 
 def test_fused_diagnostics(results):
-    fused, fused2, _ = results
+    fused, fused2, *_ = results
     for r in (fused, fused2):
         d = r.diagnostics()
         assert d["nan_count"] == 0
         assert 0.05 < d["land_fraction"] < 0.7
+
+
+def test_fused_reapply_matches_staged(results):
+    """The fused reapply tail (one dispatch) ≡ the staged reapply."""
+    _, _, _, re_fused, re_staged, _, _ = results
+    a = np.asarray(re_fused.elevation)
+    b = np.asarray(re_staged.elevation)
+    assert np.abs(a - b).max() < 2e-3
+    k1 = np.asarray(re_fused.climate["koppen"])
+    k2 = np.asarray(re_staged.climate["koppen"])
+    assert (k1 != k2).mean() < 0.01
+
+
+def test_fused_edit_matches_staged(results):
+    """The fused editRecompute tail ≡ the staged edit path."""
+    *_, ed_fused, ed_staged = results
+    a = np.asarray(ed_fused.elevation)
+    b = np.asarray(ed_staged.elevation)
+    assert np.abs(a - b).max() < 2e-3
+    assert ed_fused.diagnostics()["nan_count"] == 0
