@@ -103,23 +103,44 @@ _VIEWER = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "viewer", "globe.html")
 
 
-def export_globe(result, out_dir: str, layer: str = "terrain") -> str:
-    """Write globe geometry (positions f32 + colors u8 binary), a manifest,
-    and the self-contained WebGL viewer into ``out_dir``. Returns the path
-    of the viewer HTML (open in any browser; serves via file:// or any
-    static server)."""
-    geo = build_globe_geometry(result, layer)
+def export_globe(result, out_dir: str, layer="terrain") -> str:
+    """Write globe geometry (positions f32 + per-layer color u8 buffers),
+    a manifest, and the self-contained WebGL viewer into ``out_dir``.
+    ``layer`` may be one name or a sequence — multiple layers share the
+    geometry and the viewer gets a layer dropdown (the reference's inspect
+    dropdown, index.html:286-325). Returns the viewer HTML path."""
+    from .layers import layer_color
+
+    layers = [layer] if isinstance(layer, str) else list(layer)
+    geo = build_globe_geometry(result, layers[0])
     os.makedirs(out_dir, exist_ok=True)
 
     pos = geo["positions"].reshape(-1, 3)
-    col = np.clip(geo["colors"].reshape(-1, 3) * 255 + 0.5,
-                  0, 255).astype(np.uint8)
+    src, _, inner_t, outer_t, has_twin = _halfedge_triangles(
+        result.graph.triangles, result.graph.n_cells)
+    src = src[has_twin]
+
     with open(os.path.join(out_dir, "globe.bin"), "wb") as f:
         f.write(pos.astype("<f4").tobytes())
-        f.write(col.tobytes())
+        layer_meta = []
+        off = int(pos.nbytes)
+        for name in layers:
+            if name == layers[0]:
+                col3 = geo["colors"]
+            else:
+                c = np.asarray(layer_color(result, name), np.float32)[src]
+                col3 = np.repeat(c[:, None, :], 3, axis=1)
+            col = np.clip(col3.reshape(-1, 3) * 255 + 0.5,
+                          0, 255).astype(np.uint8)
+            f.write(col.tobytes())
+            layer_meta.append(dict(name=name, offset=off,
+                                   nbytes=int(col.nbytes)))
+            off += int(col.nbytes)
+
     manifest = dict(
-        vertices=int(len(pos)), layer=layer,
-        positions_bytes=int(pos.nbytes), colors_bytes=int(col.nbytes),
+        vertices=int(len(pos)), layer=layers[0], layers=layer_meta,
+        positions_bytes=int(pos.nbytes),
+        colors_bytes=layer_meta[0]["nbytes"],
         num_cells=geo["num_cells"])
     with open(os.path.join(out_dir, "globe.json"), "w") as f:
         json.dump(manifest, f)

@@ -247,10 +247,16 @@ def layer_color(result, name: str) -> jax.Array:
             return rain_shadow_color(dbg[name])
         return temperature_color(dbg[name])
     if name == "superPlates":
+        if name not in dbg:
+            raise ValueError("layer 'superPlates' not recorded "
+                             "(needs >=8 plates and a full generate)")
         sp = dbg[name].astype(jnp.int32)
         n_sp = int(jnp.max(sp)) + 1
         return plate_colors(sp, np.zeros(max(n_sp, 1), bool), max(n_sp, 1))
     if name == "tecActivity":
+        if name not in dbg:
+            raise ValueError("layer 'tecActivity' not recorded "
+                             "(imported planets have no tectonic assembly)")
         return magnitude_color(dbg[name])
     if name in GEOLOGY_DEBUG:
         if name not in dbg:

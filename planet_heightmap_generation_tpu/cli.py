@@ -128,7 +128,8 @@ def main(argv=None):
     gl = sub.add_parser(
         "globe", help="generate + export the interactive WebGL globe viewer")
     add_gen_args(gl)
-    gl.add_argument("--layer", default="terrain")
+    gl.add_argument("--layer", default="terrain",
+                    help="layer name, or comma list for a viewer dropdown")
     gl.add_argument("--dir", dest="out_dir", default="globe_out",
                     help="output directory for globe.html/json/bin")
 
@@ -164,7 +165,8 @@ def main(argv=None):
         result = engine.generate(
             params, on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
         print("diagnostics:", result.diagnostics())
-        html = export_globe(result, args.out_dir, layer=args.layer)
+        layer = args.layer.split(",") if "," in args.layer else args.layer
+        html = export_globe(result, args.out_dir, layer=layer)
         print(f"globe viewer written: {html}")
         print(f"serve with: python -m http.server -d {args.out_dir}")
         return
