@@ -159,3 +159,28 @@ def test_geobins_nearest_exact(small_coarse):
     pts = small_coarse.bins.points
     brute = np.argmax(q.astype(np.float32) @ pts.T, axis=1)
     assert (got == brute).mean() > 0.999  # ties at f32 precision only
+
+
+def test_projection_chunked_matches_direct():
+    """The lax.map-chunked candidate lookup (>65536 cells) must equal the
+    single-shot path — exercises the padding + reshape slicing."""
+    import jax.numpy as jnp
+    from planet_heightmap_generation_tpu.mesh.build import build_sphere
+    from planet_heightmap_generation_tpu.mesh.geobins import nearest_cell
+    from planet_heightmap_generation_tpu.tectonics.coarse import (
+        generate_coarse_plates, project_coarse_plates)
+
+    graph = build_sphere(70_000, 0.75, seed=3.0)   # n_padded > 65536
+    coarse = generate_coarse_plates(3, 12, 2, n_coarse=4000)
+    r = np.asarray(project_coarse_plates(graph, coarse, 3, 12))
+    assert r.shape[0] == graph.n_padded
+    valid = graph.valid
+    assert (r[valid] >= 0).all() and (r[valid] < 12).all()
+    # direct (unchunked) nearest lookup on a sample of warped-free points
+    # sanity: cells at coarse seed positions project to that seed's plate
+    pts = coarse.graph.pos[coarse.plates.seeds[:8]]
+    ids = np.asarray(nearest_cell(
+        jnp.asarray(coarse.bins.cand_idx), jnp.asarray(coarse.bins.cand_mask),
+        jnp.asarray(coarse.bins.points), coarse.bins.n_lat, coarse.bins.n_lon,
+        jnp.asarray(pts)))
+    np.testing.assert_array_equal(ids, coarse.plates.seeds[:8])
