@@ -87,6 +87,13 @@ def _epsilon_fill(elev, is_ocean, open_ocean, nbr_idx, nbr_mask, valid):
 
     surface, _ = jax.lax.while_loop(cond, body, (surface0, jnp.bool_(True)))
 
+    # cells the flood never reached (land enclosed by inland seas — e.g. an
+    # island inside a landlocked basin) keep their ELEVATION, exactly like
+    # the reference's surface = copy(r_elevation) init (js/terrain-post.js:
+    # 106): no fill, no deficit. Leaving `big` here poisoned the elevation
+    # with +5e8 at cell counts where such islands occur (>=160K).
+    surface = jnp.where(surface >= big * 0.5, elev, surface)
+
     # drain pointers. The reference meanders flood fronts with hash noise on
     # the heap keys (js/terrain-post.js:96-113); its pop order still yields
     # acyclic drainTo. Here cycles must be impossible by construction (the

@@ -134,14 +134,24 @@ def sweep_heightmaps(params: GenerationParams, seeds: Sequence[int],
                      width: int = 8192,
                      devices: Optional[Sequence] = None):
     """Config-5 workload: S full generations + equirect heightmap export
-    each. The generations run vmapped (generate_batch); exports share the
-    JFA raster machinery per result. Yields (seed, result, image)."""
-    from ..api.export import export_map
+    each. The generations run vmapped (generate_batch). With ``jitter=0``
+    the mesh is seed-independent, so ONE rasterized cell-id map is shared
+    by every seed's export (the reference's exportMapBatch geometry
+    sharing, js/planet-mesh.js:1965-2180); jittered meshes differ per seed
+    and rasterize individually. Yields (seed, result, image)."""
+    from ..api.export import export_map, rasterize_cell_ids
     from ..mesh.device import to_device
 
     results = generate_batch(params, seeds, devices=devices)
+    shared_ids = None
     for s, res in zip(seeds, results):
         g = to_device(res.graph)
+        if params.jitter == 0:
+            if shared_ids is None:
+                shared_ids = rasterize_cell_ids(g, width // 2, width)
+            ids = shared_ids
+        else:
+            ids = None
         img = export_map(g, res.elevation, "heightmap",
-                         height=width // 2, width=width)
+                         height=width // 2, width=width, cell_ids=ids)
         yield int(s), res, img

@@ -221,3 +221,37 @@ def test_pointer_doubling_exact_on_1m_chain():
         assert abs(out[i] - expect) < 5e-4, (i, out[i], expect)
     diffs = np.diff(out[1:])
     assert (diffs > 0).all(), "drainage not strictly monotonic"
+
+
+def test_flood_island_in_inland_sea_not_filled(tiny_sphere):
+    """Land enclosed by an inland sea is unreachable by the open-ocean
+    flood; its surface must stay at its elevation (reference js/terrain-
+    post.js:106 init) — round-2 regression: `big` leaked +5e8 into such
+    cells at >=160K cells."""
+    import jax.numpy as jnp
+    from planet_heightmap_generation_tpu.erosion.flood import (
+        priority_flood_carve)
+
+    g = tiny_sphere
+    elev = np.full(g.n_padded, 0.5, np.float32)
+    elev[~g.valid] = 0.0
+    # main open ocean: polar cap
+    cap = g.pos[:, 2] > 0.6
+    elev[cap & g.valid] = -0.5
+    # island: pick a southern cell, make its entire neighborhood an inland
+    # sea (disconnected from the cap)
+    south = np.flatnonzero((g.pos[:, 2] < -0.5) & g.valid)
+    c = int(south[0])
+    ring = g.nbr_idx[c][g.nbr_mask[c]]
+    elev[ring] = -0.4
+    elev_j = jnp.asarray(elev)
+    is_ocean = (elev_j <= 0) & jnp.asarray(g.valid)
+
+    out, drain, surface = priority_flood_carve(
+        elev_j, is_ocean, jnp.asarray(g.nbr_idx), jnp.asarray(g.nbr_mask),
+        jnp.asarray(g.valid), jnp.float32(0.5))
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert out.max() < 10.0, f"flood leaked big values: {out.max()}"
+    # the island keeps (approximately) its elevation
+    assert abs(out[c] - 0.5) < 0.05, out[c]
