@@ -13,7 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .util import smoothstep, smooth_field, elev_to_height_km, itcz_lookup
+from ..ops.banded import banded_sum, smooth_field_banded
+from .util import smoothstep, elev_to_height_km, itcz_lookup
 
 DEG = math.pi / 180.0
 
@@ -57,42 +58,51 @@ def heuristic_wind_field(lat, lon, itcz_lats):
     return heuristic_wind(dist_deg, hemi)
 
 
-@partial(jax.jit, static_argnames=("wc_passes",))
-def west_coast_signal(pos, is_land, coast_dist_land, east, nbr_idx, nbr_mask,
-                      wc_passes: int):
+@partial(jax.jit, static_argnames=("band_off", "wc_passes"))
+def west_coast_signal(pos, is_land, coast_dist_land, east,
+                      band_off, band_mask, rem_src, rem_dst, wc_passes: int):
     """West-coast signal: +1 west coast, -1 east coast, diffused ~300 km
     through land (js/heuristic-precip.js:128-166). Season-independent, so
-    computed once and shared between the two seasonal evaluations."""
-    ocean_nb = (~is_land)[nbr_idx] & nbr_mask
-    d = pos[nbr_idx] - pos[:, None, :]
-    ocean_dot_east = jnp.sum(
-        jnp.where(ocean_nb, jnp.einsum("nkc,nc->nk", d, east), 0.0), axis=1)
+    computed once and shared between the two seasonal evaluations.
+    Banded: Σ_j ocean_j (p_j - p_i)·east_i decomposes into neighbor sums of
+    {ocean_j, ocean_j·p_j}; the diffusion is a masked banded smooth."""
+    oc = (~is_land).astype(jnp.float32)
+    s4 = banded_sum(jnp.concatenate([oc[:, None], oc[:, None] * pos], axis=1),
+                    band_off, band_mask, rem_src, rem_dst)
+    ocean_cnt = s4[:, 0]
+    ocean_dot_east = jnp.einsum(
+        "nc,nc->n", s4[:, 1:4] - ocean_cnt[:, None] * pos, east)
     coast_cell = is_land & (coast_dist_land == 0)
-    has_ocean_nb = ocean_nb.any(axis=1)
-    west_coast = jnp.where(coast_cell & has_ocean_nb,
+    west_coast = jnp.where(coast_cell & (ocean_cnt > 0),
                            jnp.where(ocean_dot_east < 0, 1.0, -1.0), 0.0)
+    land_f = is_land.astype(jnp.float32)
+    c = 1 + banded_sum(land_f, band_off, band_mask, rem_src, rem_dst)
     for _ in range(wc_passes):
-        ok = nbr_mask & is_land[nbr_idx]
-        s = west_coast + jnp.sum(jnp.where(ok, west_coast[nbr_idx], 0.0), axis=1)
-        c = 1 + jnp.sum(ok, axis=1)
+        contrib = jnp.where(is_land, west_coast, 0.0)
+        s = west_coast + banded_sum(contrib, band_off, band_mask,
+                                    rem_src, rem_dst)
         west_coast = jnp.where(is_land, s / c, 0.0)
     return west_coast.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("wc_passes", "smooth_passes", "is_summer"))
+@partial(jax.jit, static_argnames=("band_off", "wc_passes", "smooth_passes",
+                                   "is_summer"))
 def heuristic_precip_season(pos, lat, lon, elev, is_land, continentality,
                             coast_dist_land, elev_grad_e, elev_grad_n,
-                            east, itcz_lats, nbr_idx, nbr_mask,
+                            east, itcz_lats, band_off, band_mask,
+                            rem_src, rem_dst,
                             avg_edge_km: float, wc_passes: int,
                             smooth_passes: int, is_summer: bool):
     """One season of the heuristic model (js/heuristic-precip.js:119-266)."""
     west_coast = west_coast_signal(pos, is_land, coast_dist_land, east,
-                                   nbr_idx, nbr_mask, wc_passes)
+                                   band_off, band_mask, rem_src, rem_dst,
+                                   wc_passes)
     raw = heuristic_precip_raw(lat, lon, elev, is_land, continentality,
                                coast_dist_land, elev_grad_e, elev_grad_n,
                                west_coast, itcz_lats,
                                avg_edge_km, is_summer)
-    return smooth_field(raw, nbr_idx, nbr_mask, smooth_passes)
+    return smooth_field_banded(raw, band_off, band_mask, rem_src, rem_dst,
+                               smooth_passes)
 
 
 @partial(jax.jit, static_argnames=("is_summer",))

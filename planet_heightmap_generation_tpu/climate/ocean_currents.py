@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
-from ..ops.graph import bfs_hops_multi
+from ..ops.banded import bfs_hops_multi_banded, smooth_masked_banded
 from .util import smoothstep, smooth_masked, percentile, itcz_lookup
 
 DEG = math.pi / 180.0
@@ -126,10 +126,10 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
             g.pos, is_ocean, wind["r_east"], g.nbr_idx, g.nbr_mask)
         barrier = ~is_ocean
         # the three coast fields relax together ([N,3], one gather/sweep)
-        coast_d = bfs_hops_multi(
+        coast_d = bfs_hops_multi_banded(
             jnp.stack([coast, west, east_c], 1),
             jnp.stack([barrier, barrier, barrier], 1),
-            g.nbr_idx, g.nbr_mask)
+            *g.bands)
     # convert inf → -1 convention of the reference
     d_west = jnp.where(jnp.isfinite(coast_d[:, 1]), coast_d[:, 1], -1.0)
     d_east = jnp.where(jnp.isfinite(coast_d[:, 2]), coast_d[:, 2], -1.0)
@@ -154,11 +154,11 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
             jnp.float32(warmth_range), jnp.float32(shift)))
 
     # both seasons' vectors (and warmths) smooth stacked — one gather/pass
-    cur4 = smooth_masked(jnp.stack(cur_l, 1), is_ocean,
-                         g.nbr_idx, g.nbr_mask, smooth_passes)
+    cur4 = smooth_masked_banded(jnp.stack(cur_l, 1), is_ocean,
+                                *g.bands, smooth_passes)
     cur4 = jnp.where(is_ocean[:, None], cur4, 0.0)
-    warm2 = smooth_masked(jnp.stack(warm_l, 1), is_ocean,
-                          g.nbr_idx, g.nbr_mask, warmth_passes)
+    warm2 = smooth_masked_banded(jnp.stack(warm_l, 1), is_ocean,
+                                 *g.bands, warmth_passes)
 
     result = {}
     for s, name in enumerate(("summer", "winter")):

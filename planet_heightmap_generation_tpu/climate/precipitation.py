@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
-from .util import (smoothstep, smooth_field, percentile, elev_to_height_km,
+from ..ops.banded import (banded_sum, banded_count, band_shift,
+                          smooth_field_banded)
+from .util import (smoothstep, percentile, elev_to_height_km,
                    itcz_lookup, compute_gradients)
 from .heuristic_precip import (heuristic_wind_field, heuristic_precip_raw,
                                west_coast_signal)
@@ -31,31 +33,78 @@ from .heuristic_precip import (heuristic_wind_field, heuristic_precip_raw,
 DEG = math.pi / 180.0
 
 
-@jax.jit
-def _wind_convergence2(pos, wind3d2, nbr_idx, nbr_mask):
-    """Net inward flux per season (js/precipitation.js:19-52). [N,2]."""
-    d = pos[nbr_idx] - pos[:, None, :]                      # [N,K,3]
-    w_sum = wind3d2[nbr_idx] + wind3d2[:, None]             # [N,K,2,3]
-    conv = -jnp.sum(
-        jnp.where(nbr_mask[:, :, None, None], w_sum * d[:, :, None, :], 0.0),
-        axis=(1, 3))
-    cnt = jnp.maximum(1, jnp.sum(nbr_mask, axis=1))[:, None]
+@partial(jax.jit, static_argnames=("band_off",))
+def _wind_convergence2(pos, wind3d2, band_off, band_mask, rem_src, rem_dst):
+    """Net inward flux per season (js/precipitation.js:19-52). [N,2].
+
+    Banded: -Σ_j (w_j + w_i)·(p_j - p_i) expands into plain neighbor sums
+    of per-cell fields (w_j·p_j, w_j, p_j, degree), so the whole stencil is
+    ONE banded_sum of an [N,11] stack — no per-edge gather."""
+    n = pos.shape[0]
+    a2 = jnp.einsum("nsc,nc->ns", wind3d2, pos)             # w_j·p_j
+    stack = jnp.concatenate(
+        [a2, wind3d2.reshape(n, 6), pos], axis=1)            # [N,11]
+    s = banded_sum(stack, band_off, band_mask, rem_src, rem_dst)
+    s_a, s_w, s_p = s[:, :2], s[:, 2:8].reshape(n, 2, 3), s[:, 8:11]
+    deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
+    wp = jnp.einsum("nsc,nc->ns", wind3d2, pos)
+    conv = -(s_a - jnp.einsum("nsc,nc->ns", s_w, pos)
+             + jnp.einsum("nsc,nc->ns", wind3d2, s_p) - deg[:, None] * wp)
+    cnt = jnp.maximum(1.0, deg)[:, None]
     return (conv / cnt).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("max_hops",))
+def _upwind_band_weights(pos, wind3d2, band_off, band_mask, rem_src, rem_dst,
+                         cell_gate=None):
+    """Per-edge upwind weights: wind AT the neighbor j pointing toward i,
+    w[i,·,s] = max(0, wind[j,s]·(p_i - p_j)), as banded [N,D,2] + remainder
+    [M,2] arrays (loop-invariant; shared by advection and rain shadow)."""
+    npad = pos.shape[0]
+    cols = []
+    for d, off in enumerate(band_off):
+        w = jnp.einsum("nsc,nc->ns", band_shift(wind3d2, off),
+                       pos - band_shift(pos, off))
+        m = band_mask[:, d]
+        if cell_gate is not None:
+            m = m & cell_gate
+        cols.append(jnp.where(m[:, None] & (w > 0), w, 0.0))
+    wb = jnp.stack(cols, axis=1)                             # [N,D,2]
+    src = jnp.clip(rem_src, 0, npad - 1)
+    wr = jnp.einsum("msc,mc->ms", wind3d2[rem_dst], pos[src] - pos[rem_dst])
+    ok = (rem_src < npad)
+    if cell_gate is not None:
+        ok = ok & cell_gate[src]
+    wr = jnp.where(ok[:, None] & (wr > 0), wr, 0.0)
+    return wb, wr
+
+
+def _banded_weighted_sum(field2, wb, wr, band_off, rem_src, rem_dst):
+    """Σ_j w_ij · field[j] for [N,F] fields with banded weights
+    wb [N,D,F] / wr [M,F]. Returns [N,F]."""
+    out = jnp.zeros_like(field2)
+    for d, off in enumerate(band_off):
+        out = out + wb[:, d] * band_shift(field2, off)
+    return out.at[rem_src].add(wr * field2[rem_dst], mode="drop")
+
+
+@partial(jax.jit, static_argnames=("band_off", "max_hops"))
 def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
-                      coast_dist_land, nbr_idx, nbr_mask, max_hops: int):
+                      coast_dist_land, band_off, band_mask, rem_src, rem_dst,
+                      max_hops: int):
     """Upwind moisture advection, both seasons stacked
-    (js/precipitation.js:59-182). wind3d2: [N,2,3]; warmth2: [N,2]."""
-    # seed moisture (season-independent geometry, per-season warmth)
-    ocean_nb = (~is_land)[nbr_idx] & nbr_mask
-    d_out = pos[nbr_idx] - pos[:, None, :]
-    ocean_dir = jnp.sum(jnp.where(ocean_nb[:, :, None], d_out, 0.0), axis=1)
-    ocean_cnt = jnp.sum(ocean_nb, axis=1)
-    warmth_avg2 = (jnp.sum(jnp.where(ocean_nb[:, :, None],
-                                     warmth2[nbr_idx], 0.0), axis=1)
-                   / jnp.maximum(1, ocean_cnt)[:, None])
+    (js/precipitation.js:59-182). wind3d2: [N,2,3]; warmth2: [N,2].
+    Banded: seed geometry via one stacked neighbor sum, the advection loop
+    as roll-shifted weighted sums with loop-invariant [N,D,2] weights."""
+    n = pos.shape[0]
+    # seed moisture (season-independent geometry, per-season warmth):
+    # Σ_j ocean_j·{1, p_j, warmth_j} in one [N,6] banded sum
+    oc = (~is_land).astype(jnp.float32)
+    stack = jnp.concatenate(
+        [oc[:, None], oc[:, None] * pos, oc[:, None] * warmth2], axis=1)
+    s = banded_sum(stack, band_off, band_mask, rem_src, rem_dst)
+    ocean_cnt = s[:, 0]
+    ocean_dir = s[:, 1:4] - ocean_cnt[:, None] * pos
+    warmth_avg2 = s[:, 4:6] / jnp.maximum(1.0, ocean_cnt)[:, None]
     wind_dot_ocean2 = jnp.einsum("nsc,nc->ns", wind3d2, ocean_dir)
     onshore2 = jnp.where(wind_dot_ocean2 < 0, 1.0, 0.25)
     warmth_factor2 = 0.5 + 0.5 * jnp.clip(warmth_avg2, -0.8, 1.0)
@@ -66,14 +115,15 @@ def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
                   0.0)).astype(jnp.float32)
 
     # loop-invariant upwind weights: wind at nb pointing toward r
-    d_in = pos[:, None, :] - pos[nbr_idx]
-    up_w2 = jnp.einsum("nksc,nkc->nks", wind3d2[nbr_idx], d_in)
-    up_w2 = jnp.where(nbr_mask[:, :, None] & (up_w2 > 0), up_w2, 0.0)
-    up_sum2 = jnp.sum(up_w2, axis=1)                        # [N,2]
+    up_wb, up_wr = _upwind_band_weights(pos, wind3d2, band_off, band_mask,
+                                        rem_src, rem_dst)
+    up_sum2 = (jnp.sum(up_wb, axis=1)
+               .at[rem_src].add(up_wr, mode="drop"))        # [N,2]
     has_up2 = up_sum2 > 0
 
-    up_height2 = (jnp.sum(up_w2 * height_km[nbr_idx][:, :, None], axis=1)
-                  / jnp.maximum(up_sum2, 1e-20))
+    up_height2 = (_banded_weighted_sum(
+        jnp.broadcast_to(height_km[:, None], (n, 2)), up_wb, up_wr,
+        band_off, rem_src, rem_dst) / jnp.maximum(up_sum2, 1e-20))
     height_gain2 = jnp.maximum(0.0, height_km[:, None] - up_height2)
     depletion_base = 1 - 0.78 ** (1.0 / max_hops)
     elev_depletion2 = jnp.minimum(0.8, height_gain2 * max_hops * 0.55)
@@ -83,7 +133,8 @@ def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
     active2 = is_land[:, None] & wind_ok2 & has_up2
 
     def body(_, m):
-        incoming = (jnp.sum(up_w2 * m[nbr_idx], axis=1)
+        incoming = (_banded_weighted_sum(m, up_wb, up_wr, band_off,
+                                         rem_src, rem_dst)
                     / jnp.maximum(up_sum2, 1e-20))
         carried = incoming * retain2
         return jnp.where(active2, jnp.maximum(m, carried), m)
@@ -190,13 +241,17 @@ def _mechanisms2(lat, lon, elev, height_km, is_land, continentality,
     return jnp.maximum(0.0, p).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("shadow_hops", "windward_hops"))
+@partial(jax.jit, static_argnames=("band_off", "shadow_hops",
+                                   "windward_hops"))
 def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
-                  nbr_idx, nbr_mask, shadow_hops: int, windward_hops: int):
+                  band_off, band_mask, rem_src, rem_dst,
+                  shadow_hops: int, windward_hops: int):
     """Rain-shadow diagnostic for both seasons: seed on ≥0.8 km slopes,
     propagate shadow downwind / windward rain upwind
     (js/precipitation.js:496-607). {shadow, windward} × {summer, winter}
-    stack into ONE [N,4] sweep loop. Returns [N,2]."""
+    stack into ONE [N,4] banded sweep loop (the wind-aligned weights are
+    loop-invariant [N,D,4] band arrays). Returns [N,2]."""
+    npad = pos.shape[0]
     h_scale = jnp.minimum(1.0, (height_km - 0.5) / 2.5)[:, None]
     seed_ok = (is_land & (elev > 0) & (height_km >= 0.8))[:, None]
     seed2 = jnp.where(
@@ -205,32 +260,45 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
                   -jnp.minimum(1.0, -wdg2 * 18) * h_scale,
                   0.0)).astype(jnp.float32)
 
-    d_in = pos[:, None, :] - pos[nbr_idx]
-    up_w2 = jnp.einsum("nksc,nkc->nks", wind3d2[nbr_idx], d_in)
-    up_w2 = jnp.where(nbr_mask[:, :, None] & (up_w2 > 0)
-                      & is_land[:, None, None], up_w2, 0.0)
-    dn_w2 = -jnp.einsum("nsc,nkc->nks", wind3d2, d_in)
-    dn_w2 = jnp.where(nbr_mask[:, :, None] & (dn_w2 > 0)
-                      & is_land[:, None, None], dn_w2, 0.0)
+    # up: wind AT the neighbor toward the receiver; dn: wind AT the receiver
+    # toward the neighbor — both gated on receiver land
+    up_wb, up_wr = _upwind_band_weights(pos, wind3d2, band_off, band_mask,
+                                        rem_src, rem_dst, cell_gate=is_land)
+    dn_cols = []
+    for d, off in enumerate(band_off):
+        w = jnp.einsum("nsc,nc->ns", wind3d2, band_shift(pos, off) - pos)
+        m = band_mask[:, d] & is_land
+        dn_cols.append(jnp.where(m[:, None] & (w > 0), w, 0.0))
+    dn_wb = jnp.stack(dn_cols, axis=1)                       # [N,D,2]
+    src = jnp.clip(rem_src, 0, npad - 1)
+    dn_r = jnp.einsum("msc,mc->ms", wind3d2[src], pos[rem_dst] - pos[src])
+    dn_wr = jnp.where(((rem_src < npad) & is_land[src])[:, None]
+                      & (dn_r > 0), dn_r, 0.0)
 
     s_dec = 1 - 0.15 ** (1.0 / shadow_hops)
     w_dec = 1 - 0.25 ** (1.0 / windward_hops)
 
     f0 = jnp.concatenate([seed2, seed2], axis=1)            # [N,4]
-    w4 = jnp.concatenate([up_w2, dn_w2], axis=2)            # [N,K,4]
+    w4b = jnp.concatenate([up_wb, dn_wb], axis=2)            # [N,D,4]
+    w4r = jnp.concatenate([up_wr, dn_wr], axis=1)            # [M,4]
     sign4 = jnp.asarray([-1.0, -1.0, 1.0, 1.0])
     decay4 = jnp.asarray([s_dec, s_dec, w_dec, w_dec])
     cap4 = jnp.asarray([shadow_hops, shadow_hops,
                         windward_hops, windward_hops], jnp.int32)
 
     def body(i, s):
-        vals = s[nbr_idx]                                   # [N,K,4]
-        act = vals * sign4[None, None, :] > 0
-        sel = jnp.where(act, vals, 0.0)
-        w = jnp.where(act, w4, 0.0)
-        wsum = jnp.sum(w, axis=1)                           # [N,4]
-        carried = (jnp.sum(sel * w, axis=1)
-                   / jnp.maximum(wsum, 1e-20) * (1 - decay4)[None, :])
+        wsum = jnp.zeros_like(s)
+        wacc = jnp.zeros_like(s)
+        for d, off in enumerate(band_off):
+            vals = band_shift(s, off)                       # [N,4]
+            w = jnp.where(vals * sign4[None, :] > 0, w4b[:, d], 0.0)
+            wsum = wsum + w
+            wacc = wacc + w * vals
+        vals_r = s[rem_dst]
+        w_r = jnp.where(vals_r * sign4[None, :] > 0, w4r, 0.0)
+        wsum = wsum.at[rem_src].add(w_r, mode="drop")
+        wacc = wacc.at[rem_src].add(w_r * vals_r, mode="drop")
+        carried = wacc / jnp.maximum(wsum, 1e-20) * (1 - decay4)[None, :]
         ext = jnp.where(sign4[None, :] < 0,
                         jnp.minimum(s, carried), jnp.maximum(s, carried))
         upd = (wsum > 0) & (i < cap4)[None, :]
@@ -258,8 +326,8 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
 
     # smoothed elevation gradients (js/precipitation.js:216-233)
     elev_passes = max(2, round(200 / avg_edge_km))
-    elev_sm = smooth_field(elev.astype(jnp.float32), g.nbr_idx, g.nbr_mask,
-                           elev_passes)
+    elev_sm = smooth_field_banded(elev.astype(jnp.float32), *g.bands,
+                                  elev_passes)
     elev_sm = elev_sm * 0.6 + elev * 0.4
     grad_e, grad_n = compute_gradients(g.pos, elev_sm, east, north,
                                        g.nbr_idx, g.nbr_mask)
@@ -291,12 +359,11 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     pressure2 = jnp.stack([wind["r_pressure_summer"],
                            wind["r_pressure_winter"]], 1)
 
-    conv2 = _wind_convergence2(g.pos, wind3d2, g.nbr_idx, g.nbr_mask)
-    conv2 = smooth_field(conv2, g.nbr_idx, g.nbr_mask, conv_passes)
+    conv2 = _wind_convergence2(g.pos, wind3d2, *g.bands)
+    conv2 = smooth_field_banded(conv2, *g.bands, conv_passes)
 
     moisture2 = _advect_moisture2(g.pos, height_km, is_land, wind3d2,
-                                  warmth2, coast_dist, g.nbr_idx, g.nbr_mask,
-                                  max_hops)
+                                  warmth2, coast_dist, *g.bands, max_hops)
 
     precip2 = _mechanisms2(
         lat, lon, elev, height_km, is_land, cont, coast_dist,
@@ -307,8 +374,8 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
 
     wdg2 = we2 * grad_e[:, None] + wn2 * grad_n[:, None]
     rs2 = _rain_shadow2(g.pos, elev, height_km, is_land, wind3d2, wdg2,
-                        g.nbr_idx, g.nbr_mask, shadow_hops, windward_hops)
-    rs2 = smooth_field(rs2, g.nbr_idx, g.nbr_mask, rs_passes)
+                        *g.bands, shadow_hops, windward_hops)
+    rs2 = smooth_field_banded(rs2, *g.bands, rs_passes)
 
     # apply propagated shadow (js/precipitation.js:616-627)
     strength = jnp.minimum(1.0, -rs2 * 2.25)
@@ -318,19 +385,19 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     precip2 = jnp.where(is_land[:, None] & (rs2 > 0.01),
                         precip2 + rs2 * 1.2, precip2)
 
-    precip2 = smooth_field(precip2, g.nbr_idx, g.nbr_mask, precip_passes)
+    precip2 = smooth_field_banded(precip2, *g.bands, precip_passes)
 
     # heuristic blend (js/precipitation.js:644-679) — west-coast signal is
     # season-independent (computed once); both seasons smooth stacked
     west_coast = west_coast_signal(g.pos, is_land, coast_dist, east,
-                                   g.nbr_idx, g.nbr_mask, wc_passes)
+                                   *g.bands, wc_passes)
     heur2 = jnp.stack([
         heuristic_precip_raw(lat, lon, elev, is_land, cont, coast_dist,
                              grad_e, grad_n, west_coast,
                              wind[f"itcz_lats_{name}"], avg_edge_km,
                              name == "summer")
         for name in ("summer", "winter")], 1)
-    heur2 = smooth_field(heur2, g.nbr_idx, g.nbr_mask, precip_passes)
+    heur2 = smooth_field_banded(heur2, *g.bands, precip_passes)
 
     blended2 = 0.5 * precip2 + 0.5 * heur2
     cap = 1.0 - smoothstep(0.5, 1.0, cont) * 0.80

@@ -16,24 +16,25 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
-from .util import smoothstep, smooth_field, elev_to_height_km, itcz_lookup
+from ..ops.banded import banded_sum, banded_count, smooth_field_banded
+from .util import smoothstep, elev_to_height_km, itcz_lookup
 
 DEG = math.pi / 180.0
 T_MIN, T_MAX = -45.0, 45.0
 
 
-@partial(jax.jit, static_argnames=("passes",))
-def _diffuse_ocean_warmth(warmth2, is_land, plate_cont, nbr_idx, nbr_mask,
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _diffuse_ocean_warmth(warmth2, is_land, plate_cont,
+                          band_off, band_mask, rem_src, rem_dst,
                           passes: int):
     """js/temperature.js:19-54 — all cells diffuse except deep continental
     interiors (plate continentality ≥ 0.95). Both seasons diffuse stacked
-    ([N,2], one index-bound gather per pass)."""
+    as banded roll sums ([N,2] per pass)."""
     field = jnp.where((~is_land)[:, None], warmth2, 0.0).astype(jnp.float32)
     frozen = (plate_cont >= 0.95)[:, None]
-    c = (1 + jnp.sum(nbr_mask, axis=1))[:, None]
+    c = (1 + banded_count(band_mask, rem_src, dtype=jnp.float32))[:, None]
     for _ in range(passes):
-        s = field + jnp.sum(
-            jnp.where(nbr_mask[:, :, None], field[nbr_idx], 0.0), axis=1)
+        s = field + banded_sum(field, band_off, band_mask, rem_src, rem_dst)
         field = jnp.where(frozen, field, s / c)
     return field
 
@@ -102,7 +103,7 @@ def compute_temperature(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     warmth2 = jnp.stack([ocean["r_ocean_warmth_summer"],
                          ocean["r_ocean_warmth_winter"]], 1)
     coastal2 = _diffuse_ocean_warmth(warmth2, is_land, p_cont,
-                                     g.nbr_idx, g.nbr_mask, warmth_passes)
+                                     *g.bands, warmth_passes)
 
     t_l = []
     for s, name in enumerate(("summer", "winter")):
@@ -113,7 +114,7 @@ def compute_temperature(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
             coastal2[:, s],
             jnp.float32(temperature_offset), is_summer=(name == "summer"))
         t_l.append(T)
-    t2 = smooth_field(jnp.stack(t_l, 1), g.nbr_idx, g.nbr_mask, 1)
+    t2 = smooth_field_banded(jnp.stack(t_l, 1), *g.bands, 1)
 
     result = {}
     for s, name in enumerate(("summer", "winter")):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, fbm
-from ..ops.graph import bfs_hops_multi
+from ..ops.banded import bfs_hops_multi_banded, smooth_field_banded
 from ..erosion.flood import open_ocean_mask
 from .util import (GeoFrame, geo_frame, smoothstep, smooth_field,
                    percentile, elev_to_height_km, itcz_lookup,
@@ -253,8 +253,8 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     if coast_d is None:
         seeds5, barriers5, aux = coast_bfs_seeds(
             g, elev, plate_is_ocean, r_plate)
-        d2 = bfs_hops_multi(seeds5[:, :2], barriers5[:, :2],
-                            g.nbr_idx, g.nbr_mask)
+        d2 = bfs_hops_multi_banded(seeds5[:, :2], barriers5[:, :2],
+                                   *g.bands)
         coast_d = d2
         plate_land = aux["plate_land"]
     coast_dist, p_dist = coast_d[:, 0], coast_d[:, 1]
@@ -265,7 +265,7 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
                   smoothstep(0.0, 2000.0, p_dist * avg_edge_km), 0.0),
     ], axis=1).astype(jnp.float32)
     cont_passes = max(1, round(100 / avg_edge_km))
-    cont2 = smooth_field(cont2, g.nbr_idx, g.nbr_mask, cont_passes)
+    cont2 = smooth_field_banded(cont2, *g.bands, cont_passes)
     cont, p_cont = cont2[:, 0], cont2[:, 1]
 
     result = dict(
@@ -284,7 +284,7 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
                          is_summer=True),
         _pressure_kernel(g.pos, gf, sp_winter, cont, elev, noise_t,
                          is_summer=False)], axis=1)
-    press2 = smooth_field(press2, g.nbr_idx, g.nbr_mask, press_passes)
+    press2 = smooth_field_banded(press2, *g.bands, press_passes)
     ge2, gn2 = compute_gradients(g.pos, press2, gf.east, gf.north,
                                  g.nbr_idx, g.nbr_mask)
     for s, name in enumerate(("summer", "winter")):

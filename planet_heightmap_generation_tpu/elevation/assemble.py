@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, tables, noise3, fbm, ridged_fbm
 from ..ops.graph import bfs_hops_multi, band_bfs, hash01
+from ..ops.banded import (bfs_hops_multi_banded, band_gate, rem_gate_eq,
+                          propagate_stress_banded)
 from .collisions import (CollisionResult, find_collisions,
                          propagate_stress_multi)
 from .hotspots import build_domes, hotspot_uplift
@@ -490,23 +492,27 @@ def assign_elevation(
     num_passes = max(1, round(spread * 3 * sf_res))
 
     same_plate = (r_plate[g.nbr_idx] == r_plate[:, None]) & g.nbr_mask
+    gate_small = band_gate(r_plate, g.band_off, g.band_mask)
+    rgate_small = rem_gate_eq(r_plate, g.rem_src, g.rem_dst)
     if has_super:
-        same_sup = ((r_super_plate[g.nbr_idx] == r_super_plate[:, None])
-                    & g.nbr_mask)
-        st2, sf2 = propagate_stress_multi(
+        gate_sup = band_gate(r_super_plate, g.band_off, g.band_mask)
+        rgate_sup = rem_gate_eq(r_super_plate, g.rem_src, g.rem_dst)
+        st2, sf2 = propagate_stress_banded(
             jnp.stack([small.stress, sup.stress], 1),
             jnp.stack([small.subduct, sup.subduct], 1),
-            jnp.stack([same_plate, same_sup], 2),
+            jnp.stack([gate_small, gate_sup], 2),
+            jnp.stack([rgate_small, rgate_sup], 1),
             jnp.stack([plate_is_ocean[r_plate],
                        super_is_ocean[r_super_plate]], 1),
-            g.nbr_idx, decay, sub_decay, num_passes)
+            *g.bands, decay, sub_decay, num_passes)
         stress, subduct = _blend_propagated(
             st2[:, 0], sf2[:, 0], st2[:, 1], sf2[:, 1], col.subduct)
     else:
-        st2, sf2 = propagate_stress_multi(
+        st2, sf2 = propagate_stress_banded(
             col.stress[:, None], col.subduct[:, None],
-            same_plate[:, :, None], plate_is_ocean[r_plate][:, None],
-            g.nbr_idx, decay, sub_decay, num_passes)
+            gate_small[:, :, None], rgate_small[:, None],
+            plate_is_ocean[r_plate][:, None],
+            *g.bands, decay, sub_decay, num_passes)
         stress, subduct = st2[:, 0], sf2[:, 0]
 
     mountain, coastline, ocean_seeds = col.mountain, col.coastline, col.ocean
@@ -534,12 +540,12 @@ def assign_elevation(
 
     # the five distance fields (js/elevation.js:365-427) relax together in
     # one [N,5] loop — a single index-bound gather per sweep instead of five
-    dists = bfs_hops_multi(
+    dists = bfs_hops_multi_banded(
         jnp.stack([stress_mountain, ocean_seeds, coastline, coast_seeds,
                    land_coast_seeds], 1),
         jnp.stack([ocean_seeds, coastline, stop_r, no_barrier,
                    r_is_ocean], 1),
-        g.nbr_idx, g.nbr_mask,
+        *g.bands,
         rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1))
     dist_mountain = dists[:, 0]
     dist_ocean = dists[:, 1]

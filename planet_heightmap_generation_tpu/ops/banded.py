@@ -1,0 +1,301 @@
+"""Banded neighbor sweeps — masked jnp.roll shifts over the Fibonacci
+spiral ordering.
+
+The spiral mesh ordering makes neighbor index offsets (j - i) concentrate
+onto ~32 signed Fibonacci numbers (mesh/build.py:build_banded). A neighbor
+reduction then becomes D rolls of the field with per-band masks plus a
+small remainder-edge scatter — contiguous vector reads instead of the
+index-bound [N,K] gather. Measured on TPU v5e (min-sweep, 50 iterations):
+
+    N=1M  F=1:  gather 62 ms/sweep → banded 2.3 ms  (27x)
+    N=1M  F=5:  gather 54 ms/sweep → banded 7.3 ms  (7x)
+    N=204K F=5: gather 6.0 ms/sweep → banded 2.1 ms (3x)
+
+Results are bit-identical to the gather form for order-independent
+reductions (min/max); float sums differ only in accumulation order.
+
+Neighbor-side cell gates (e.g. "only relax through non-barrier cells")
+are expressed by pre-masking the FIELD with the fill value — no per-edge
+gate arrays needed. True per-edge gates precompute a [N,D] band gate with
+:func:`band_gate` (one-off rolls of the cell property, hoisted out of
+sweep loops).
+
+Every kernel here takes the graph's ``band_off`` (static tuple),
+``band_mask [NP,D]``, ``rem_src/rem_dst [M]`` — normally via a
+:class:`..mesh.device.DeviceGraph`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand(mask, field):
+    """Broadcast a [N] or [N,D] mask against field rank ([N] or [N,F])."""
+    return mask[:, None] if field.ndim == 2 and mask.ndim == 1 else mask
+
+
+def band_shift(field, off):
+    """field[i + off] along the cell axis (wrap killed by band masks)."""
+    return jnp.roll(field, -off, axis=0)
+
+
+def band_gate(cell_value, band_off, band_mask):
+    """[N,D] per-edge gate from a per-cell value: gate[i,d] =
+    band_mask[i,d] & (cell_value[i + off_d] == cell_value[i]).
+    Loop-invariant — compute once, reuse across sweeps."""
+    cols = [band_mask[:, d] & (band_shift(cell_value, off) == cell_value)
+            for d, off in enumerate(band_off)]
+    return jnp.stack(cols, axis=1)
+
+
+def band_nbr_dist(pos, band_off, band_mask):
+    """[N,D] chord distance to each band neighbor, 0 where absent —
+    the banded analog of nbr_dist, computed from positions on device."""
+    cols = []
+    for d, off in enumerate(band_off):
+        delta = band_shift(pos, off) - pos
+        cols.append(jnp.where(band_mask[:, d],
+                              jnp.linalg.norm(delta, axis=1), 0.0))
+    return jnp.stack(cols, axis=1).astype(jnp.float32)
+
+
+def rem_gather(field, rem_dst):
+    """Remainder-edge neighbor values, [M] or [M,F]."""
+    return field[rem_dst]
+
+
+def banded_min(field, band_off, band_mask, rem_src, rem_dst,
+               fill=jnp.inf, gate=None):
+    """Min over neighbors. ``field``: [N] or [N,F]. ``gate``: optional
+    [N,D] band gate (remainder edges are NOT gated — pre-mask the field
+    for neighbor-side gates, which covers remainder too)."""
+    out = jnp.full_like(field, fill)
+    for d, off in enumerate(band_off):
+        m = band_mask[:, d] if gate is None else gate[:, d]
+        out = jnp.minimum(out, jnp.where(_expand(m, field),
+                                         band_shift(field, off), fill))
+    out = out.at[rem_src].min(rem_gather(field, rem_dst), mode="drop")
+    return out
+
+
+def banded_max(field, band_off, band_mask, rem_src, rem_dst,
+               fill=-jnp.inf, gate=None):
+    out = jnp.full_like(field, fill)
+    for d, off in enumerate(band_off):
+        m = band_mask[:, d] if gate is None else gate[:, d]
+        out = jnp.maximum(out, jnp.where(_expand(m, field),
+                                         band_shift(field, off), fill))
+    out = out.at[rem_src].max(rem_gather(field, rem_dst), mode="drop")
+    return out
+
+
+def banded_sum(field, band_off, band_mask, rem_src, rem_dst, gate=None):
+    """Sum over neighbors ([N] or [N,F]). Accumulation order differs from
+    the gather form (bands, then remainder) — equal within float tolerance."""
+    out = jnp.zeros_like(field)
+    for d, off in enumerate(band_off):
+        m = band_mask[:, d] if gate is None else gate[:, d]
+        out = out + jnp.where(_expand(m, field), band_shift(field, off), 0)
+    out = out.at[rem_src].add(rem_gather(field, rem_dst), mode="drop")
+    return out
+
+
+def banded_count(band_mask, rem_src, gate=None, dtype=jnp.int32):
+    """Neighbor degree [N] (loop-invariant; compute once per gate)."""
+    m = band_mask if gate is None else gate
+    out = jnp.sum(m, axis=1).astype(dtype)
+    npad = band_mask.shape[0]
+    ones = jnp.ones(rem_src.shape[0], dtype)
+    return out.at[rem_src].add(ones, mode="drop") if rem_src.shape[0] else out
+
+
+@partial(jax.jit, static_argnames=("band_off", "max_hops"))
+def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
+                          rem_src, rem_dst, max_hops: int = 0,
+                          rand_cost=None):
+    """Banded drop-in for ops.graph.bfs_hops_multi — F independent
+    hop-distance BFS fields relaxed together ([N,F] min-plus loop).
+    Bit-identical to the gather form (min is order-independent)."""
+    n, f = seeds.shape
+    inf = jnp.float32(jnp.inf)
+    dist0 = jnp.where(seeds, 0.0, inf).astype(jnp.float32)
+    cost = jnp.ones((n, f), jnp.float32) if rand_cost is None else rand_cost
+
+    def cond(state):
+        i, _, changed = state
+        if max_hops > 0:
+            return changed & (i < max_hops)
+        return changed
+
+    def body(state):
+        i, dist, _ = state
+        best = banded_min(dist, band_off, band_mask, rem_src, rem_dst)
+        new = jnp.minimum(dist, best + cost)
+        new = jnp.where(barrier, inf, new)
+        new = jnp.where(seeds, 0.0, new)
+        return i + 1, new, jnp.any(new != dist)
+
+    _, dist, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, jnp.bool_(True))
+    )
+    return dist
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def smooth_field_banded(field, band_off, band_mask, rem_src, rem_dst,
+                        passes: int):
+    """Banded Laplacian smoothing incl. self (ops for js/climate-util.js:5-25
+    parity — drop-in for climate.util.smooth_field)."""
+    deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
+    c = deg + 1
+    if field.ndim == 2:
+        c = c[:, None]
+    for _ in range(passes):
+        s = field + banded_sum(field, band_off, band_mask, rem_src, rem_dst)
+        field = s / c
+    return field.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
+                         passes: int):
+    """Banded smoothing restricted to ``mask`` cells (drop-in for
+    climate.util.smooth_masked): non-mask cells neither contribute nor
+    update. Neighbor-side gate = zero the field outside the mask."""
+    maskx = _expand(mask, field)
+    mf = mask.astype(jnp.float32)
+    cnt = banded_sum(mf, band_off, band_mask, rem_src, rem_dst)
+    c = 1 + (cnt[:, None] if field.ndim == 2 else cnt)
+    for _ in range(passes):
+        contrib = jnp.where(maskx, field, 0.0)
+        s = field + banded_sum(contrib, band_off, band_mask, rem_src, rem_dst)
+        field = jnp.where(maskx, s / c, field)
+    return field.astype(jnp.float32)
+
+
+def _rem_real(rem_src, npad):
+    return rem_src < npad
+
+
+def banded_select(key_src, payloads, band_off, band_mask, rem_src, rem_dst,
+                  gate=None, rem_gate=None, minimize=False,
+                  edge_payloads=None, rem_edge_payloads=None,
+                  fill=None):
+    """Per-cell best-neighbor selection: for each cell i, find the neighbor
+    j maximizing (or minimizing) ``key_src[j]`` over gated edges, and return
+    that neighbor's payload values — the banded replacement for the
+    argmax/argmin-carry gathers (stress propagation, carry BFS).
+
+    - ``key_src``: [N] or [N,F] — the candidate key AT THE SOURCE cell
+      (anything per-hop, like dist+1, is folded in by the caller).
+    - ``payloads``: list of [N(,F)] source fields selected alongside the key.
+    - ``gate``: [N,D(,F)] band gate; ``rem_gate``: [M(,F)] remainder gate.
+    - ``edge_payloads``: list of [N,D(,F)] per-EDGE values (e.g. edge
+      length) selected per band; ``rem_edge_payloads``: matching [M(,F)].
+    - Returns (best_key, [selected payloads...], [selected edge payloads...])
+      with ``fill`` (default ±inf) where no gated neighbor exists.
+
+    Ties: bands are scanned in ascending-offset order and the FIRST best
+    wins; remainder edges are merged last and win only on strict
+    improvement, with equal-key remainder ties resolved toward the maximum
+    payload. (The gather form resolves ties by slot order instead — results
+    differ only where two candidates carry bit-equal keys.)
+    """
+    if fill is None:
+        fill = jnp.inf if minimize else -jnp.inf
+    better = (lambda a, b: a < b) if minimize else (lambda a, b: a > b)
+    npad = band_mask.shape[0]
+    payloads = list(payloads)
+    edge_payloads = list(edge_payloads or [])
+
+    best_key = jnp.full_like(key_src, fill)
+    best_pay = [jnp.zeros_like(p) for p in payloads]
+    best_epay = [jnp.zeros_like(ep[:, 0]) for ep in edge_payloads]
+
+    for d, off in enumerate(band_off):
+        m = band_mask[:, d] if gate is None else gate[:, d]
+        k = jnp.where(_expand(m, key_src), band_shift(key_src, off), fill)
+        upd = better(k, best_key)
+        best_key = jnp.where(upd, k, best_key)
+        best_pay = [jnp.where(_expand_u(upd, p), band_shift(p, off), bp)
+                    for p, bp in zip(payloads, best_pay)]
+        best_epay = [jnp.where(_expand_u(upd, ep[:, d]), ep[:, d], bep)
+                     for ep, bep in zip(edge_payloads, best_epay)]
+
+    # remainder edges: winner key per cell via scatter-extremum, payloads by
+    # the two-phase trick (mask to winning edges, scatter-extremum again)
+    real = _rem_real(rem_src, npad)
+    rg = real if rem_gate is None else (_expand_u(real, rem_gate) & rem_gate)
+    rk = jnp.where(_expand(rg, key_src), key_src[rem_dst], fill)
+    w = jnp.full_like(key_src, fill)
+    w = w.at[rem_src].min(rk, mode="drop") if minimize else \
+        w.at[rem_src].max(rk, mode="drop")
+    is_win = rg & (rk == w[jnp.clip(rem_src, 0, npad - 1)])
+    upd = better(w, best_key)
+    best_key = jnp.where(upd, w, best_key)
+
+    def pick(cand):
+        c = jnp.where(_expand(is_win, cand), cand, -jnp.inf)
+        out = jnp.full(w.shape, -jnp.inf, cand.dtype)
+        return out.at[rem_src].max(c, mode="drop")
+
+    best_pay = [jnp.where(_expand_u(upd, p), pick(p[rem_dst]), bp)
+                for p, bp in zip(payloads, best_pay)]
+    best_epay = [jnp.where(_expand_u(upd, bep), pick(rep), bep)
+                 for rep, bep in zip(rem_edge_payloads or [], best_epay)]
+    return best_key, best_pay, best_epay
+
+
+def _expand_u(mask, like):
+    """Broadcast an update mask against a payload's rank."""
+    if like.ndim == mask.ndim + 1:
+        return mask[..., None]
+    return mask
+
+
+@partial(jax.jit, static_argnames=("band_off", "num_passes"))
+def propagate_stress_banded(stress, subduct, gate, rem_gate, ocean_cell,
+                            band_off, band_mask, rem_src, rem_dst,
+                            decay, subduct_decay, num_passes):
+    """Banded drop-in for elevation.collisions.propagate_stress_multi:
+    G stress layers relax together; per sweep each cell adopts the
+    strongest propagated stress among gated (same-plate) neighbors, the
+    subduct factor riding along. gate: [N,D,G]; rem_gate: [M,G]."""
+    active0 = stress > 0.01
+
+    def cond(state):
+        i, _, _, _, changed = state
+        return changed & (i < num_passes)
+
+    def body(state):
+        i, stress, sf, active, _ = state
+        eff = jnp.where(sf > 0.5, subduct_decay, decay)
+        prop = stress * eff
+        sendable = active & (~ocean_cell) & (prop >= 0.005)
+        key = jnp.where(sendable, prop, -jnp.inf)
+        best, (src_sf,), _ = banded_select(
+            key, [sf], band_off, band_mask, rem_src, rem_dst,
+            gate=gate, rem_gate=rem_gate)
+        upd = best > stress
+        stress2 = jnp.where(upd, best, stress)
+        sf2 = jnp.where(upd, src_sf, sf)
+        return i + 1, stress2, sf2, active | upd, jnp.any(upd)
+
+    _, stress, subduct, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), stress.astype(jnp.float32),
+         subduct.astype(jnp.float32), active0, jnp.bool_(True)),
+    )
+    return stress, subduct
+
+
+def rem_gate_eq(cell_value, rem_src, rem_dst):
+    """[M(,F)] remainder-edge equality gate matching :func:`band_gate`."""
+    npad = cell_value.shape[0]
+    src = jnp.clip(rem_src, 0, npad - 1)
+    return (cell_value[src] == cell_value[rem_dst]) & \
+        _expand(_rem_real(rem_src, npad), cell_value)

@@ -161,11 +161,11 @@ def _climate_stack(spec: FusedSpec, g, elevation, p_ocean, r_plate,
     """Shared climate tail (wind → ocean → precip → temp → Köppen) with the
     merged 5-field coast BFS; fills out['climate'] and the debug layers."""
     from ..climate.wind import coast_bfs_seeds
-    from ..ops.graph import bfs_hops_multi
+    from ..ops.banded import bfs_hops_multi_banded
 
     p = spec.params
     seeds5, barriers5, aux = coast_bfs_seeds(g, elevation, p_ocean, r_plate)
-    d5 = bfs_hops_multi(seeds5, barriers5, g.nbr_idx, g.nbr_mask)
+    d5 = bfs_hops_multi_banded(seeds5, barriers5, *g.bands)
     wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
                         coast_d=d5[:, :2], gf=aux["gf"],
                         is_land=aux["is_land"],
