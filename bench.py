@@ -28,6 +28,13 @@ import os
 import sys
 import time
 
+# Pin string-hash iteration order before anything imports jax: the fused
+# pipeline's HLO (and so the persistent compile-cache key) must be identical
+# across processes, or every driver run pays a full cold compile.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 T_START = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
 

@@ -28,6 +28,13 @@ def _enable_compilation_cache() -> None:
     cache = _os.environ.get("PLANET_JAX_CACHE", "")
     if cache == "0":
         return
+    # CPU-only processes (tests, the multichip dryrun) must NOT use the
+    # persistent cache: this jaxlib's XLA:CPU AOT deserialization is
+    # machine-feature sensitive and intermittently SEGFAULTS reloading
+    # entries ("prefer-no-scatter ... could lead to execution errors").
+    # The cache's value is the slow remote TPU compiles anyway.
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     if not cache:
         # repo-local only when running from a source checkout; an installed
         # copy (site-packages) caches under the user cache dir instead of

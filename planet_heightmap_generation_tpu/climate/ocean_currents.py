@@ -11,26 +11,30 @@ smoothing, p95 speed normalization.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
-from ..ops.banded import bfs_hops_multi_banded, smooth_masked_banded
+from ..ops.banded import (bfs_hops_multi_banded, smooth_masked_banded,
+                          banded_sum)
 from .util import smoothstep, smooth_masked, percentile, itcz_lookup
 
 DEG = math.pi / 180.0
 
 
-@jax.jit
-def _coast_classification(pos, is_ocean, east, nbr_idx, nbr_mask):
-    """West/east coast seeds from land-direction · east (js/ocean.js:13-55)."""
-    land_nb = (~is_ocean)[nbr_idx] & nbr_mask
-    d = pos[nbr_idx] - pos[:, None, :]
-    land_dir = jnp.sum(jnp.where(land_nb[:, :, None], d, 0.0), axis=1)
-    has_land = land_nb.any(axis=1)
-    coast = is_ocean & has_land
+@partial(jax.jit, static_argnames=("band_off",))
+def _coast_classification(pos, is_ocean, east, band_off, band_mask,
+                          rem_src, rem_dst):
+    """West/east coast seeds from land-direction · east (js/ocean.js:13-55).
+    Banded: Σ_j land_j (p_j - p_i) decomposes into neighbor sums."""
+    land_f = (~is_ocean).astype(jnp.float32)
+    stack = jnp.concatenate([land_f[:, None], land_f[:, None] * pos], axis=1)
+    ssum = banded_sum(stack, band_off, band_mask, rem_src, rem_dst)
+    land_dir = ssum[:, 1:4] - ssum[:, 0:1] * pos
+    coast = is_ocean & (ssum[:, 0] > 0)
     normal_e = jnp.einsum("nc,nc->n", land_dir, east)
     west = coast & ((normal_e < -0.2) | ((normal_e >= -0.2) & (normal_e <= 0.2) & (normal_e <= 0)))
     east_c = coast & (~west)
@@ -123,7 +127,7 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
 
     if coast_d is None:
         coast, west, east_c = _coast_classification(
-            g.pos, is_ocean, wind["r_east"], g.nbr_idx, g.nbr_mask)
+            g.pos, is_ocean, wind["r_east"], *g.bands)
         barrier = ~is_ocean
         # the three coast fields relax together ([N,3], one gather/sweep)
         coast_d = bfs_hops_multi_banded(

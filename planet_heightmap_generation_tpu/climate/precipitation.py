@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.banded import (banded_sum, banded_count, band_shift,
-                          smooth_field_banded)
+                          smooth_field_banded, compute_gradients_banded)
 from .util import (smoothstep, percentile, elev_to_height_km,
                    itcz_lookup, compute_gradients)
 from .heuristic_precip import (heuristic_wind_field, heuristic_precip_raw,
@@ -329,8 +329,8 @@ def compute_precipitation(g: DeviceGraph, elev, wind: Dict, ocean: Dict,
     elev_sm = smooth_field_banded(elev.astype(jnp.float32), *g.bands,
                                   elev_passes)
     elev_sm = elev_sm * 0.6 + elev * 0.4
-    grad_e, grad_n = compute_gradients(g.pos, elev_sm, east, north,
-                                       g.nbr_idx, g.nbr_mask)
+    grad_e, grad_n = compute_gradients_banded(g.pos, elev_sm, east, north,
+                                              *g.bands)
     height_km = elev_to_height_km(jnp.maximum(0.0, elev))
 
     conv_passes = max(3, round(400 / avg_edge_km))

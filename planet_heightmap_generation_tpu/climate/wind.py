@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, fbm
-from ..ops.banded import bfs_hops_multi_banded, smooth_field_banded
+from ..ops.banded import (bfs_hops_multi_banded, smooth_field_banded,
+                          banded_sum, compute_gradients_banded)
 from ..erosion.flood import open_ocean_mask
 from .util import (GeoFrame, geo_frame, smoothstep, smooth_field,
                    percentile, elev_to_height_km, itcz_lookup,
@@ -199,19 +200,25 @@ def coast_bfs_seeds(g: DeviceGraph, elev, plate_is_ocean, r_plate):
     gf = geo_frame(g.pos)
     is_land = (elev > 0) & g.valid
     is_ocean_cell = (~is_land) & g.valid
-    main_ocean = open_ocean_mask(is_ocean_cell, g.nbr_idx, g.nbr_mask,
-                                 g.valid)
-    coast_seeds = is_land & jnp.any(
-        main_ocean[g.nbr_idx] & g.nbr_mask, axis=1)
+    main_ocean = open_ocean_mask(is_ocean_cell, g.valid, *g.bands)
     plate_land = (~plate_is_ocean[r_plate]) & g.valid
-    p_seeds = plate_land & jnp.any(
-        (plate_is_ocean[r_plate][g.nbr_idx]) & g.nbr_mask, axis=1)
+    plate_ocean_cell = plate_is_ocean[r_plate]
+    # neighbor counts + land direction in one stacked banded sum:
+    # Σ_j {main_ocean_j, plate_ocean_j, land_j, land_j·p_j}
+    land_f = is_land.astype(jnp.float32)
+    stack = jnp.concatenate([
+        main_ocean.astype(jnp.float32)[:, None],
+        plate_ocean_cell.astype(jnp.float32)[:, None],
+        land_f[:, None], land_f[:, None] * g.pos], axis=1)
+    ssum = banded_sum(stack, *g.bands)
+    coast_seeds = is_land & (ssum[:, 0] > 0)
+    p_seeds = plate_land & (ssum[:, 1] > 0)
 
-    # ocean coast classification (js/ocean.js:13-55)
-    land_nb = is_land[g.nbr_idx] & g.nbr_mask
-    d = g.pos[g.nbr_idx] - g.pos[:, None, :]
-    land_dir = jnp.sum(jnp.where(land_nb[:, :, None], d, 0.0), axis=1)
-    coast_o = is_ocean_cell & land_nb.any(axis=1)
+    # ocean coast classification (js/ocean.js:13-55):
+    # land_dir = Σ_j land_j (p_j - p_i) = Σ land_j·p_j - (Σ land_j)·p_i
+    land_cnt = ssum[:, 2]
+    land_dir = ssum[:, 3:6] - land_cnt[:, None] * g.pos
+    coast_o = is_ocean_cell & (land_cnt > 0)
     normal_e = jnp.einsum("nc,nc->n", land_dir, gf.east)
     # js/ocean.js:35's branch structure reduces to normal_e <= 0
     west = coast_o & (normal_e <= 0)
@@ -285,8 +292,8 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
         _pressure_kernel(g.pos, gf, sp_winter, cont, elev, noise_t,
                          is_summer=False)], axis=1)
     press2 = smooth_field_banded(press2, *g.bands, press_passes)
-    ge2, gn2 = compute_gradients(g.pos, press2, gf.east, gf.north,
-                                 g.nbr_idx, g.nbr_mask)
+    ge2, gn2 = compute_gradients_banded(g.pos, press2, gf.east, gf.north,
+                                        *g.bands)
     for s, name in enumerate(("summer", "winter")):
         we, wn, speed = _pressure_to_wind(ge2[:, s], gn2[:, s], gf.sin_lat)
         p95 = percentile(speed, 0.95, g.valid)

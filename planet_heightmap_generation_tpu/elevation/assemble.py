@@ -28,7 +28,8 @@ from ..mesh.device import DeviceGraph
 from ..ops.noise import Tables, tables, noise3, fbm, ridged_fbm
 from ..ops.graph import bfs_hops_multi, band_bfs, hash01
 from ..ops.banded import (bfs_hops_multi_banded, band_gate, rem_gate_eq,
-                          propagate_stress_banded)
+                          propagate_stress_banded, band_bfs_banded,
+                          banded_sum)
 from .collisions import (CollisionResult, find_collisions,
                          propagate_stress_multi)
 from .hotspots import build_domes, hotspot_uplift
@@ -491,7 +492,6 @@ def assign_elevation(
     sub_decay = (base_decay * 0.45) ** (1 / sf_res)
     num_passes = max(1, round(spread * 3 * sf_res))
 
-    same_plate = (r_plate[g.nbr_idx] == r_plate[:, None]) & g.nbr_mask
     gate_small = band_gate(r_plate, g.band_off, g.band_mask)
     rgate_small = rem_gate_eq(r_plate, g.rem_src, g.rem_dst)
     if has_super:
@@ -532,11 +532,12 @@ def assign_elevation(
         return 0.5 + hash01(idx, seed + k)
 
     r_is_ocean = plate_is_ocean[r_plate] & g.valid
-    nbr_ocean = r_is_ocean[g.nbr_idx]
     land_mask = (~r_is_ocean) & g.valid
-    coast_seeds = r_is_ocean & jnp.any(land_mask[g.nbr_idx] & g.nbr_mask, axis=1)
+    land_nb_cnt = banded_sum(land_mask.astype(jnp.float32), *g.bands)
+    ocean_nb_cnt = banded_sum(r_is_ocean.astype(jnp.float32), *g.bands)
+    coast_seeds = r_is_ocean & (land_nb_cnt > 0)
     no_barrier = jnp.zeros(npad, bool)
-    land_coast_seeds = land_mask & jnp.any(nbr_ocean & g.nbr_mask, axis=1)
+    land_coast_seeds = land_mask & (ocean_nb_cnt > 0)
 
     # the five distance fields (js/elevation.js:365-427) relax together in
     # one [N,5] loop — a single index-bound gather per sweep instead of five
@@ -572,16 +573,18 @@ def assign_elevation(
     max_arc = max(5, round(5 * sf_res))
 
     # coast-boundary carry BFS (dBdry + stress/subduct/convergent carries)
-    coast_bdry = jnp.any(nbr_ocean != r_is_ocean[:, None], axis=1,
-                         where=g.nbr_mask) & g.valid
+    # boundary: any neighbor with a different ocean/land state — for a
+    # VALID cell that's exactly "land with an ocean neighbor or vice versa"
+    coast_bdry = jnp.where(r_is_ocean, land_nb_cnt > 0,
+                           ocean_nb_cnt > 0) & g.valid
     stress_n = jnp.minimum(1.0, stress / max_stress)
     carried0 = jnp.stack([
         jnp.where(coast_bdry, stress_n, 0.0),
         jnp.where(coast_bdry, subduct, 0.0),
         jnp.where(coast_bdry, (col.btype == 1).astype(jnp.float32), 0.0),
     ])
-    d_bdry2, _, carried = band_bfs(
-        coast_bdry[:, None], carried0[:, :, None], g.nbr_idx, g.nbr_mask,
+    d_bdry2, _, carried = band_bfs_banded(
+        coast_bdry[:, None], carried0[:, :, None], *g.bands,
         max_hops=max_cd, tie=carried0[0][:, None], num_carry=3)
     d_bdry = jnp.where(jnp.isinf(d_bdry2[:, 0]), max_cd + 1.0, d_bdry2[:, 0])
     coast_stress, coast_subduct, coast_convergent = (
@@ -597,19 +600,22 @@ def assign_elevation(
     all_cells = jnp.ones(npad, bool)
     zero = jnp.zeros(npad, jnp.float32)
     band_hops = max(rift_half, ridge_half, fracture_half, ba_end, max_arc)
-    band_dist, _, band_carry = band_bfs(
+    use_gate5 = jnp.asarray([True, False, False, True, True])
+    gate5 = jnp.where(use_gate5[None, None, :], gate_small[:, :, None],
+                      g.band_mask[:, :, None])
+    rgate5 = jnp.where(use_gate5[None, :], rgate_small[:, None], True)
+    band_dist, _, band_carry = band_bfs_banded(
         jnp.stack([rift_seeds, ridge_seeds, frac_seeds, ba_seeds,
                    arc_seeds], 1),
         jnp.stack([zero, zero, zero,
                    jnp.where(ba_seeds, stress_n, 0.0),
                    jnp.where(arc_seeds, stress_n, 0.0)], 1)[None],
-        g.nbr_idx, g.nbr_mask, max_hops=band_hops,
+        *g.bands, max_hops=band_hops,
         hops_cap=jnp.asarray([rift_half, ridge_half, fracture_half,
                               ba_end, max_arc], jnp.int32),
         allow=jnp.stack([land_mask, r_is_ocean, r_is_ocean, all_cells,
                          r_is_ocean], 1),
-        edge_gate=same_plate,
-        use_gate=jnp.asarray([True, False, False, True, True]),
+        gate=gate5, rem_gate=rgate5,
         num_carry=1)
     rift_dist = band_dist[:, 0]
     ridge_dist = band_dist[:, 1]

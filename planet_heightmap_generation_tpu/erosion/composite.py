@@ -6,7 +6,9 @@ hydraulic → thermal per iteration, with an initial priority-flood carve
 (0.5) before hydraulic and a mid-loop re-flood (0.85) at 75% of iterations.
 Iteration structure is a host loop over jitted per-step kernels (counts are
 small and static); the reference's per-iteration land sort disappears —
-ordering is subsumed by the pointer-doubling solvers.
+ordering is subsumed by the pointer-doubling solvers. All neighbor sweeps
+ride the banded roll representation (ops/banded); the per-edge lengths are
+computed once per stage as [N,D] / [M] arrays.
 
 Slider → parameter mapping matches js/planet-worker.js:58-93.
 """
@@ -21,12 +23,23 @@ import jax.numpy as jnp
 
 from ..mesh.device import DeviceGraph
 from ..ops.noise import tables
+from ..ops.banded import band_nbr_dist
 from .flood import priority_flood_carve
 from .fluvial import steepest_receivers, flow_accumulation, stream_power_solve
 from .thermal import thermal_step
 from .glacial import glaciation_index, glacial_step, glacial_post_smooth
 from .smooth import smooth_elevation, sharpen_ridges, apply_soil_creep
 from .warp import warp_terrain
+
+
+def _edge_lengths(g: DeviceGraph):
+    """([N,D] banded edge lengths, [M] remainder edge lengths)."""
+    band_dist = band_nbr_dist(g.pos, g.band_off, g.band_mask)
+    n = g.n_padded
+    src = jnp.clip(g.rem_src, 0, n - 1)
+    rem_dist = jnp.linalg.norm(g.pos[src] - g.pos[g.rem_dst],
+                               axis=1).astype(jnp.float32)
+    return band_dist, rem_dist
 
 
 def erode_composite(g: DeviceGraph, elev, is_ocean,
@@ -37,12 +50,13 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
     if total <= 0:
         return elev
 
-    nbr_idx, nbr_mask, nbr_dist, valid = (
-        g.nbr_idx, g.nbr_mask, g.nbr_dist, g.valid)
+    valid = g.valid
+    bands = g.bands
+    band_dist, rem_dist = _edge_lengths(g)
 
     if h_iters > 0:
         elev, _, _ = priority_flood_carve(
-            elev, is_ocean, nbr_idx, nbr_mask, valid, jnp.float32(0.5))
+            elev, is_ocean, valid, *bands, jnp.float32(0.5))
 
     glac_idx = None
     if g_iters > 0 and glacial_strength > 0:
@@ -57,16 +71,19 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
         if not mid_done and it >= mid_flood_iter:
             mid_done = True
             elev, _, _ = priority_flood_carve(
-                elev, is_ocean, nbr_idx, nbr_mask, valid, jnp.float32(0.85))
+                elev, is_ocean, valid, *bands, jnp.float32(0.85))
 
         if glac_idx is not None and it < g_iters:
-            elev = glacial_step(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist,
-                                valid, glac_idx, jnp.float32(glacial_strength),
+            elev = glacial_step(elev, is_ocean, valid,
+                                g.band_off, g.band_mask, band_dist,
+                                g.rem_src, g.rem_dst, rem_dist,
+                                glac_idx, jnp.float32(glacial_strength),
                                 jnp.float32(g_scale))
 
         if it < h_iters:
             rcv, dist, is_pit = steepest_receivers(
-                elev, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid)
+                elev, is_ocean, valid, g.band_off, g.band_mask, band_dist,
+                g.rem_src, g.rem_dst, rem_dist)
             land = (~is_ocean) & valid
             flow = flow_accumulation(land, rcv, is_pit)
             elev = stream_power_solve(
@@ -74,13 +91,14 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
                 jnp.float32(k_coeff), jnp.float32(m_exp), jnp.float32(dt))
 
         if it < t_iters:
-            elev = thermal_step(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist,
-                                valid, jnp.float32(talus_slope),
+            elev = thermal_step(elev, is_ocean, valid,
+                                g.band_off, g.band_mask, band_dist,
+                                g.rem_src, g.rem_dst, rem_dist,
+                                jnp.float32(talus_slope),
                                 jnp.float32(k_thermal))
 
     if glac_idx is not None:
-        elev = glacial_post_smooth(elev, is_ocean, nbr_idx, nbr_mask, valid,
-                                   glac_idx)
+        elev = glacial_post_smooth(elev, is_ocean, valid, *bands, glac_idx)
     return elev
 
 
@@ -110,9 +128,10 @@ def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
                 jnp.sum(g.nbr_dist) / jnp.maximum(1, jnp.sum(g.nbr_mask)))
         max_steps = int(math.ceil(max_amp / max(avg_edge, 1e-6))) + 8
         hot = hotspot if hotspot is not None else jnp.zeros_like(elev)
-        elev = warp_terrain(elev, g.pos, g.nbr_idx, g.nbr_mask, g.valid,
-                            warp_t if warp_t is not None else tables(seed + 9999),
-                            jnp.float32(tw), hot,
+        elev = warp_terrain(elev, g.pos, g.valid, *g.bands,
+                            noise_t=warp_t if warp_t is not None
+                            else tables(seed + 9999),
+                            strength=jnp.float32(tw), hotspot=hot,
                             max_steps=max_steps)
 
     # ocean mask frozen BEFORE smoothing/erosion (js/planet-worker.js:51-54)
@@ -122,8 +141,8 @@ def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
     if smoothing > 0:
         iters = round(1 + smoothing * 4)
         strength = 0.2 + smoothing * 0.5
-        elev = smooth_elevation(elev, is_ocean, g.nbr_idx, g.nbr_mask,
-                                g.valid, iters, jnp.float32(strength))
+        elev = smooth_elevation(elev, is_ocean, g.valid, *g.bands,
+                                iters, jnp.float32(strength))
 
     if glacial > 0 or hydraulic > 0 or thermal > 0:
         elev = erode_composite(
@@ -136,11 +155,11 @@ def run_post_processing(g: DeviceGraph, elev, seed: int, params: dict,
 
     if ridge > 0:
         iters = round(1 + ridge * 3)
-        elev = sharpen_ridges(elev, is_ocean, g.nbr_idx, g.nbr_mask, g.valid,
+        elev = sharpen_ridges(elev, is_ocean, g.valid, *g.bands,
                               iters, jnp.float32(ridge * 0.08))
 
     # soil creep always applied (js/planet-worker.js:92)
-    elev = apply_soil_creep(elev, is_ocean, g.nbr_idx, g.nbr_mask, g.valid,
+    elev = apply_soil_creep(elev, is_ocean, g.valid, *g.bands,
                             3, jnp.float32(0.1125))
 
     erosion_delta = elev - pre

@@ -34,19 +34,20 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.graph import connected_components, hash01
+from ..ops.graph import hash01
+from ..ops.banded import banded_min, banded_sum, banded_count, band_shift
 from .fluvial import _log_rounds
 
 EPS = 1e-6  # reference uses 1e-7; promoted one decade so the increment
             # survives float32 rounding at elevations ~0.5
 
 
-@jax.jit
-def open_ocean_mask(is_ocean, nbr_idx, nbr_mask, valid):
+@partial(jax.jit, static_argnames=("band_off",))
+def open_ocean_mask(is_ocean, valid, band_off, band_mask, rem_src, rem_dst):
     """Largest connected ocean component (js/terrain-post.js:64-94)."""
-    same = is_ocean[nbr_idx] & is_ocean[:, None]
-    labels = connected_components(nbr_idx, nbr_mask, same)
-    n = nbr_idx.shape[0]
+    labels = connected_components_banded(
+        is_ocean & valid, band_off, band_mask, rem_src, rem_dst)
+    n = band_mask.shape[0]
     labels = jnp.where(is_ocean & valid, labels, n)
     sizes = jax.ops.segment_sum(
         (is_ocean & valid).astype(jnp.int32), labels, num_segments=n + 1)
@@ -55,22 +56,54 @@ def open_ocean_mask(is_ocean, nbr_idx, nbr_mask, valid):
     return is_ocean & valid & (labels == main)
 
 
-@jax.jit
-def _epsilon_fill(elev, is_ocean, open_ocean, nbr_idx, nbr_mask, valid):
+@partial(jax.jit, static_argnames=("band_off",))
+def connected_components_banded(in_set, band_off, band_mask, rem_src,
+                                rem_dst):
+    """Min-label components of the subgraph induced by ``in_set`` cells —
+    banded min-label propagation + pointer jumping (the [N] label[label]
+    jumps stay gathers; the edge reduction rides the roll bands)."""
+    n = band_mask.shape[0]
+    init = jnp.where(in_set, jnp.arange(n, dtype=jnp.int32), n)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        lab_m = jnp.where(in_set, labels, n)   # non-members never propagate
+        best = banded_min(lab_m, band_off, band_mask, rem_src, rem_dst,
+                          fill=n)
+        new = jnp.where(in_set, jnp.minimum(labels, best), labels)
+        # pointer jumping ×2 (member labels always point at member cells)
+        new = jnp.where(in_set, new[jnp.clip(new, 0, n - 1)], new)
+        new = jnp.where(in_set, new[jnp.clip(new, 0, n - 1)], new)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _epsilon_fill(elev, is_ocean, open_ocean, valid,
+                  band_off, band_mask, rem_src, rem_dst):
     """Parallel priority-flood fill → (surface, drain_to).
 
     Inland seas (ocean cells outside the main component) are barriers: the
-    flood neither relaxes through them nor drains into them."""
-    n = nbr_idx.shape[0]
+    flood neither relaxes through them nor drains into them. Neighbor-side
+    pass gates are expressed by pre-masking the evolving surface with
+    ``big`` (banded roll sweeps need no per-edge gate arrays)."""
+    n = band_mask.shape[0]
     big = jnp.float32(1e9)
     inland = is_ocean & (~open_ocean)
 
-    passable = nbr_mask & (~inland[nbr_idx])
-    nbr_open = open_ocean[nbr_idx] & nbr_mask
-    seed = (~is_ocean) & valid & jnp.any(nbr_open, axis=1)
+    nbr_open_cnt = banded_sum(open_ocean.astype(jnp.float32),
+                              band_off, band_mask, rem_src, rem_dst)
+    seed = (~is_ocean) & valid & (nbr_open_cnt > 0)
 
     surface0 = jnp.where(
         is_ocean | seed, elev, jnp.where(valid, big, elev)).astype(jnp.float32)
+    frozen = is_ocean | seed | (~valid)
 
     def cond(state):
         _, changed = state
@@ -78,11 +111,12 @@ def _epsilon_fill(elev, is_ocean, open_ocean, nbr_idx, nbr_mask, valid):
 
     def body(state):
         surf, _ = state
-        ns = jnp.where(passable, surf[nbr_idx], big)
-        min_nbr = jnp.min(ns, axis=1)
+        # inland-sea cells are impassable: they present `big` to neighbors
+        masked = jnp.where(inland, big, surf)
+        min_nbr = banded_min(masked, band_off, band_mask, rem_src, rem_dst,
+                             fill=big)
         cand = jnp.maximum(elev, min_nbr + EPS)
-        new = jnp.minimum(surf, cand)
-        new = jnp.where(is_ocean | seed | (~valid), surf, new)
+        new = jnp.where(frozen, surf, jnp.minimum(surf, cand))
         return new, jnp.any(new != surf)
 
     surface, _ = jax.lax.while_loop(cond, body, (surface0, jnp.bool_(True)))
@@ -100,20 +134,75 @@ def _epsilon_fill(elev, is_ocean, open_ocean, nbr_idx, nbr_mask, valid):
     # pointer forest feeds log-depth doubling solvers), so the noise selects
     # WHICH strictly-lower-surface neighbor to drain to, never a higher one:
     # every pointer strictly decreases surface → forest, guaranteed.
+    # Banded argmin in two sweeps over the bands: first decide per cell
+    # whether a strictly-lower passable neighbor exists, then select the
+    # min-key neighbor under the matching key definition.
     noise = hash01(jnp.arange(n, dtype=jnp.int32), 7919) * 0.01
-    ns_strict = jnp.where(passable, surface[nbr_idx], jnp.inf)
-    lower = passable & (ns_strict < surface[:, None] - EPS * 0.5)
-    key = jnp.where(lower, ns_strict + noise[nbr_idx], jnp.inf)
-    # fallback: plain min-surface neighbor if no strictly-lower one exists
-    fallback = jnp.where(passable, ns_strict, jnp.inf)
-    has_lower = lower.any(axis=1)
-    nk = jnp.where(has_lower[:, None], key, fallback)
-    nk_seed = jnp.where(nbr_open, nk, jnp.inf)
-    nk_eff = jnp.where(seed[:, None], nk_seed, nk)
-    best = jnp.argmin(nk_eff, axis=1)
-    drain = jnp.take_along_axis(nbr_idx, best[:, None], 1)[:, 0]
-    drain = jnp.where(is_ocean | (~valid), -1, drain)
-    return surface, drain.astype(jnp.int32)
+    surf_key = jnp.where(inland, jnp.inf, surface)          # impassable
+    has_lower = jnp.zeros(n, bool)
+    for d, off in enumerate(band_off):
+        sj = jnp.where(band_mask[:, d], band_shift(surf_key, off), jnp.inf)
+        has_lower = has_lower | (sj < surface - EPS * 0.5)
+    rl = (surf_key[rem_dst] < surface[jnp.clip(rem_src, 0, n - 1)]
+          - EPS * 0.5) & (rem_src < n)
+    has_lower = has_lower | (jnp.zeros(n, jnp.int32).at[rem_src].add(
+        rl.astype(jnp.int32), mode="drop") > 0)
+
+    idx_f = jnp.arange(n, dtype=jnp.float32)
+    best_key = jnp.full(n, jnp.inf)
+    best_drain = jnp.full(n, -1.0)
+
+    def edge_key(sj, noise_j, open_j):
+        # strictly-lower edges keyed with meander noise; when the cell has
+        # no lower edge, plain surface; seed cells only drain to open ocean
+        lower = sj < surface - EPS * 0.5
+        k = jnp.where(has_lower, jnp.where(lower, sj + noise_j, jnp.inf), sj)
+        return jnp.where(seed & (~open_j), jnp.inf, k)
+
+    for d, off in enumerate(band_off):
+        sj = jnp.where(band_mask[:, d], band_shift(surf_key, off), jnp.inf)
+        k = edge_key(sj, band_shift(noise, off), band_shift(open_ocean, off))
+        upd = k < best_key
+        best_key = jnp.where(upd, k, best_key)
+        best_drain = jnp.where(upd, idx_f + off, best_drain)
+    src = jnp.clip(rem_src, 0, n - 1)
+    sj_r = jnp.where(rem_src < n, surf_key[rem_dst], jnp.inf)
+    lower_r = sj_r < surface[src] - EPS * 0.5
+    k_r = jnp.where(has_lower[src],
+                    jnp.where(lower_r, sj_r + noise[rem_dst], jnp.inf),
+                    sj_r)
+    k_r = jnp.where(seed[src] & (~open_ocean[rem_dst]), jnp.inf, k_r)
+    w = jnp.full(n, jnp.inf).at[rem_src].min(k_r, mode="drop")
+    win_r = (k_r == w[src]) & (rem_src < n) & jnp.isfinite(k_r)
+    d_r = jnp.full(n, -jnp.inf).at[rem_src].max(
+        jnp.where(win_r, rem_dst.astype(jnp.float32), -jnp.inf), mode="drop")
+    upd = w < best_key
+    best_key = jnp.where(upd, w, best_key)
+    best_drain = jnp.where(upd, d_r, best_drain)
+
+    # last resort (land walled in by inland seas — no passable candidate):
+    # drain to the min-surface neighbor over ALL edges, i.e. into the
+    # inland sea, which IS water (matches the reference's behavior of
+    # always assigning some drainTo, js/terrain-post.js:118-147)
+    lr_key = jnp.full(n, jnp.inf)
+    lr_drain = jnp.full(n, -1.0)
+    for d, off in enumerate(band_off):
+        sj = jnp.where(band_mask[:, d], band_shift(surface, off), jnp.inf)
+        u = sj < lr_key
+        lr_key = jnp.where(u, sj, lr_key)
+        lr_drain = jnp.where(u, idx_f + off, lr_drain)
+    sj_r2 = jnp.where(rem_src < n, surface[rem_dst], jnp.inf)
+    w2 = jnp.full(n, jnp.inf).at[rem_src].min(sj_r2, mode="drop")
+    win2 = (sj_r2 == w2[src]) & (rem_src < n) & jnp.isfinite(sj_r2)
+    d2 = jnp.full(n, -jnp.inf).at[rem_src].max(
+        jnp.where(win2, rem_dst.astype(jnp.float32), -jnp.inf), mode="drop")
+    u2 = w2 < lr_key
+    lr_drain = jnp.where(u2, d2, lr_drain)
+    best_drain = jnp.where(jnp.isinf(best_key), lr_drain, best_drain)
+
+    drain = jnp.where(is_ocean | (~valid) | (best_drain < 0), -1,
+                      best_drain).astype(jnp.int32)
+    return surface, drain
 
 
 @partial(jax.jit, static_argnames=("rounds",))
@@ -185,14 +274,15 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
     return out.astype(jnp.float32)
 
 
-@jax.jit
-def priority_flood_carve(elev, is_ocean, nbr_idx, nbr_mask, valid,
-                         carve_strength):
+@partial(jax.jit, static_argnames=("band_off",))
+def priority_flood_carve(elev, is_ocean, valid, band_off, band_mask,
+                         rem_src, rem_dst, carve_strength):
     """Full pit resolution: fill + carve + monotonic drainage.
     Returns (elevation, drain_to, surface)."""
-    open_ocean = open_ocean_mask(is_ocean, nbr_idx, nbr_mask, valid)
-    surface, drain = _epsilon_fill(elev, is_ocean, open_ocean,
-                                   nbr_idx, nbr_mask, valid)
+    open_ocean = open_ocean_mask(is_ocean, valid, band_off, band_mask,
+                                 rem_src, rem_dst)
+    surface, drain = _epsilon_fill(elev, is_ocean, open_ocean, valid,
+                                   band_off, band_mask, rem_src, rem_dst)
     deficit = jnp.where((~is_ocean) & valid,
                         jnp.maximum(0.0, surface - elev), 0.0)
 
@@ -203,8 +293,9 @@ def priority_flood_carve(elev, is_ocean, nbr_idx, nbr_mask, valid,
     # it crosses locally prominent ground (spill barriers)
     flux = downstream_accumulate(deficit * carve_strength, drain,
                                  is_ocean | (~valid))
-    nbr_sum = jnp.sum(jnp.where(nbr_mask, elev2[nbr_idx], 0.0), axis=1)
-    nbr_cnt = jnp.maximum(1, jnp.sum(nbr_mask, axis=1))
+    nbr_sum = banded_sum(elev2, band_off, band_mask, rem_src, rem_dst)
+    nbr_cnt = jnp.maximum(
+        1, banded_count(band_mask, rem_src))
     prominence = jnp.maximum(0.0, elev2 - nbr_sum / nbr_cnt)
     carve = jnp.minimum(flux, prominence * 2.0 + flux * 0.25)
     carve = jnp.where((~is_ocean) & valid & (deficit <= EPS), carve, 0.0)

@@ -36,25 +36,29 @@ def _log_rounds(n: int) -> int:
     return max(8, math.ceil(math.log2(max(2, n))) + 2)
 
 
-@jax.jit
-def steepest_receivers(elev, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid):
+@partial(jax.jit, static_argnames=("band_off",))
+def steepest_receivers(elev, is_ocean, valid, band_off, band_mask, band_dist,
+                       rem_src, rem_dst, rem_dist):
     """Per land cell: steepest-descent neighbor, else least-ascent (pit).
-    Returns (receiver[N] i32 (-1 none), dist[N], is_pit[N])."""
-    land = (~is_ocean) & valid
-    drop = elev[:, None] - elev[nbr_idx]
-    drop = jnp.where(nbr_mask, drop, -jnp.inf)
-    best = jnp.argmax(drop, axis=1)
-    best_drop = jnp.take_along_axis(drop, best[:, None], 1)[:, 0]
+    Returns (receiver[N] i32 (-1 none), dist[N], is_pit[N]).
 
-    # pit: least-ascent neighbor
-    ascent = jnp.where(nbr_mask, -drop, jnp.inf)
-    best_up = jnp.argmin(ascent, axis=1)
-    slot = jnp.where(best_drop > 0, best, best_up)
-    rcv = jnp.take_along_axis(nbr_idx, slot[:, None], 1)[:, 0]
-    dist = jnp.take_along_axis(nbr_dist, slot[:, None], 1)[:, 0]
-    dist = jnp.maximum(dist, 1e-6)
-    has = nbr_mask.any(axis=1) & land
-    rcv = jnp.where(has, rcv, -1).astype(jnp.int32)
+    Steepest descent = the minimum-elevation neighbor, so one banded argmin
+    over the roll bands yields receiver, edge length, and pit flag (ties
+    resolve by band order; the gather form used slot order)."""
+    from ..ops.banded import banded_select
+
+    n = band_mask.shape[0]
+    land = (~is_ocean) & valid
+    idx_f = jnp.arange(n, dtype=jnp.float32)
+    band_idx = idx_f[:, None] + jnp.asarray(band_off, jnp.float32)[None, :]
+    min_elev, _, (tgt_f, dist_f) = banded_select(
+        elev, [], band_off, band_mask, rem_src, rem_dst, minimize=True,
+        edge_payloads=[band_idx, band_dist],
+        rem_edge_payloads=[rem_dst.astype(jnp.float32), rem_dist])
+    has = jnp.isfinite(min_elev) & land
+    best_drop = elev - min_elev
+    rcv = jnp.where(has, tgt_f, -1.0).astype(jnp.int32)
+    dist = jnp.maximum(jnp.where(has, dist_f, 0.0), 1e-6)
     is_pit = has & (best_drop <= 0)
     return rcv, dist, is_pit
 

@@ -1,12 +1,16 @@
-"""Terrain domain warp — tangent-frame FBM displacement with a device-side
-greedy mesh walk.
+"""Terrain domain warp — tangent-frame FBM displacement with a banded
+nearest-cell search.
 
 Re-design of reference warpTerrain (js/terrain-post.js:233-309). The
-reference walks the mesh greedily per cell (sequential, unbounded); here the
-walk runs for ALL cells simultaneously as a bounded ``fori_loop`` of masked
-argmax steps — the displacement is ≤ 0.12 rad so the walk length is bounded
-by displacement / cell spacing (+ slack), and greedy walks on a Delaunay
-sphere mesh are monotone, so the bound is exact, not approximate.
+reference walks the mesh greedily per cell (sequential, unbounded). A
+per-cell walk on TPU would chain dozens of arbitrary-index gathers, so the
+search runs as banded candidate propagation instead: every cell carries its
+best "source cell" candidate (index + position); each sweep it adopts any
+neighbor's candidate that lies closer to its own warped target point. After
+k sweeps cell i has considered every cell within k hops, so ``max_steps``
+sweeps (displacement / spacing + slack) finds the exact nearest cell in the
+displacement ball — all through roll shifts (ops/banded), with one final
+[N] gather to fetch the warped elevation.
 """
 
 from __future__ import annotations
@@ -17,11 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.noise import Tables, fbm
+from ..ops.banded import band_shift, _rem_real
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
-def warp_terrain(elev, pos, nbr_idx, nbr_mask, valid, noise_t: Tables,
-                 strength, hotspot, max_steps: int):
+@partial(jax.jit, static_argnames=("band_off", "max_steps"))
+def warp_terrain(elev, pos, valid, band_off, band_mask, rem_src, rem_dst,
+                 noise_t: Tables, strength, hotspot, max_steps: int):
     """Returns warped elevation. ``hotspot`` is the hotspot debug layer used
     to damp the warp near volcano shapes (js/terrain-post.js:294-307)."""
     n = pos.shape[0]
@@ -51,23 +56,46 @@ def warp_terrain(elev, pos, nbr_idx, nbr_mask, valid, noise_t: Tables,
     wz = z + ez * d1 + nz * d2
     wl = jnp.sqrt(wx * wx + wy * wy + wz * wz)
     wl = jnp.where(wl == 0, 1.0, wl)
-    wx, wy, wz = wx / wl, wy / wl, wz / wl
+    w = jnp.stack([wx / wl, wy / wl, wz / wl], axis=1)      # [N,3] targets
 
-    # greedy walk, all cells at once
-    def step(_, cur):
-        cand = nbr_idx[cur]                       # [N, K]
-        cp = pos[cand]
-        dots = cp[..., 0] * wx[:, None] + cp[..., 1] * wy[:, None] + cp[..., 2] * wz[:, None]
-        dots = jnp.where(nbr_mask[cur], dots, -2.0)
-        best = jnp.argmax(dots, axis=1)
-        best_dot = jnp.take_along_axis(dots, best[:, None], 1)[:, 0]
-        cur_pos = pos[cur]
-        cur_dot = cur_pos[:, 0] * wx + cur_pos[:, 1] * wy + cur_pos[:, 2] * wz
-        nxt = jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
-        return jnp.where(best_dot > cur_dot, nxt, cur)
+    # banded candidate propagation: (src index, src position) per cell
+    real = _rem_real(rem_src, n)
+    src_r = jnp.clip(rem_src, 0, n - 1)
+    idx_f = jnp.arange(n, dtype=jnp.float32)
 
-    cur = jax.lax.fori_loop(0, max_steps, step,
-                            jnp.arange(n, dtype=jnp.int32))
+    def dist2(p):
+        d = p - w
+        return jnp.einsum("nc,nc->n", d, d)
+
+    def step(_, state):
+        src_idx, src_pos, best = state
+        for d, off in enumerate(band_off):
+            cand_pos = band_shift(src_pos, off)
+            cand_idx = band_shift(src_idx, off)
+            cd = jnp.where(band_mask[:, d], dist2(cand_pos), jnp.inf)
+            upd = cd < best
+            best = jnp.where(upd, cd, best)
+            src_idx = jnp.where(upd, cand_idx, src_idx)
+            src_pos = jnp.where(upd[:, None], cand_pos, src_pos)
+        # remainder edges (two-phase scatter-min)
+        cp = src_pos[rem_dst]
+        dd = cp - w[src_r]
+        cd = jnp.where(real, jnp.einsum("mc,mc->m", dd, dd), jnp.inf)
+        wmin = jnp.full(n, jnp.inf).at[rem_src].min(cd, mode="drop")
+        is_win = real & (cd == wmin[src_r]) & jnp.isfinite(cd)
+        picked = jnp.concatenate(
+            [src_idx[rem_dst][:, None], cp], axis=1)         # [M,4]
+        pick = jnp.full((n, 4), -jnp.inf).at[rem_src].max(
+            jnp.where(is_win[:, None], picked, -jnp.inf), mode="drop")
+        upd = wmin < best
+        best = jnp.where(upd, wmin, best)
+        src_idx = jnp.where(upd, pick[:, 0], src_idx)
+        src_pos = jnp.where(upd[:, None], pick[:, 1:4], src_pos)
+        return src_idx, src_pos, best
+
+    state0 = (idx_f, pos, dist2(pos))
+    src_idx, _, _ = jax.lax.fori_loop(0, max_steps, step, state0)
+    cur = jnp.clip(src_idx, 0, n - 1).astype(jnp.int32)
     warped = elev[cur]
 
     # weighted-max merge, damped near hotspots (js/terrain-post.js:291-308)

@@ -54,6 +54,8 @@ K_FIXED = 8
 # by scatter ops.
 BAND_COUNT = 32
 
+_BAND_OFF_CACHE: dict = {}
+
 
 def generate_fibonacci_sphere(n: int, jitter: float, rng: ParkMiller) -> np.ndarray:
     """N points on the unit sphere via golden-angle spiral with jitter.
@@ -335,9 +337,22 @@ def build_banded(nbr_idx: np.ndarray, nbr_mask: np.ndarray,
     npad = nbr_idx.shape[0]
     i = np.arange(npad, dtype=np.int64)[:, None]
     off_all = nbr_idx.astype(np.int64) - i
-    offs, counts = np.unique(off_all[nbr_mask], return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    band_off = np.sort(offs[order][:n_bands])
+    # The offset tuple is STATIC in the jitted kernels, so it must be
+    # identical for every seed at a given mesh size (seed sweeps share one
+    # executable — cached per (npad, n_bands); jitter shifts a few edges
+    # between bands and remainder but the dominant offsets are structural).
+    cache_key = (npad, n_bands)
+    band_off = _BAND_OFF_CACHE.get(cache_key)
+    if band_off is None:
+        offs, counts = np.unique(off_all[nbr_mask], return_counts=True)
+        # select ± pairs together (the symmetric graph gives +o and -o
+        # equal counts; a cutoff tie must not split a pair)
+        pos_sel = offs > 0
+        pos_offs, pos_counts = offs[pos_sel], counts[pos_sel]
+        order = np.argsort(-pos_counts, kind="stable")
+        chosen = pos_offs[order][: n_bands // 2]
+        band_off = np.sort(np.concatenate([chosen, -chosen]))
+        _BAND_OFF_CACHE[cache_key] = band_off
 
     pos_in = np.clip(np.searchsorted(band_off, off_all), 0, len(band_off) - 1)
     hit = nbr_mask & (band_off[pos_in] == off_all)

@@ -230,11 +230,12 @@ def banded_select(key_src, payloads, band_off, band_mask, rem_src, rem_dst,
     # the two-phase trick (mask to winning edges, scatter-extremum again)
     real = _rem_real(rem_src, npad)
     rg = real if rem_gate is None else (_expand_u(real, rem_gate) & rem_gate)
-    rk = jnp.where(_expand(rg, key_src), key_src[rem_dst], fill)
+    rgx = _expand(rg, key_src)                    # match key rank ([M,F])
+    rk = jnp.where(rgx, key_src[rem_dst], fill)
     w = jnp.full_like(key_src, fill)
     w = w.at[rem_src].min(rk, mode="drop") if minimize else \
         w.at[rem_src].max(rk, mode="drop")
-    is_win = rg & (rk == w[jnp.clip(rem_src, 0, npad - 1)])
+    is_win = rgx & (rk == w[jnp.clip(rem_src, 0, npad - 1)])
     upd = better(w, best_key)
     best_key = jnp.where(upd, w, best_key)
 
@@ -299,3 +300,182 @@ def rem_gate_eq(cell_value, rem_src, rem_dst):
     src = jnp.clip(rem_src, 0, npad - 1)
     return (cell_value[src] == cell_value[rem_dst]) & \
         _expand(_rem_real(rem_src, npad), cell_value)
+
+
+@partial(jax.jit, static_argnames=("band_off", "max_hops", "num_carry"))
+def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
+                    max_hops: int, hops_cap=None, allow=None,
+                    gate=None, rem_gate=None, tie=None, num_carry: int = 0):
+    """Banded drop-in for ops.graph.band_bfs: F carry-propagating BFS bands
+    in one roll-sweep loop.
+
+    - seeds [N,F] bool; carried [C,N,F] f32; tie [N,F] (higher wins among
+      equal distances); hops_cap [F] i32; allow [N,F] receiver-side mask.
+    - gate [N,D,F] / rem_gate [M,F]: per-edge constraint (e.g. same plate),
+      built once with band_gate/rem_gate_eq and stacked per field.
+
+    The (dist, tie) pair packs into one float key (dist*2 - tie, tie∈[0,1])
+    and is re-derived from the winning key, so only the carries roll as
+    payloads. Ties across equal keys resolve by band order (the gather form
+    used slot order) — deterministic either way.
+    """
+    n, f = seeds.shape
+    c = max(num_carry, 0)
+    inf_i = jnp.int32(max_hops + 1)
+    dist0 = jnp.where(seeds, 0, inf_i).astype(jnp.int32)
+    if hops_cap is None:
+        hops_cap = jnp.full((f,), max_hops, jnp.int32)
+    if allow is None:
+        allow = jnp.ones((n, f), bool)
+    if tie is None:
+        tie = jnp.zeros((n, f), jnp.float32)
+    if carried is None:
+        carried = jnp.zeros((max(1, c), n, f), jnp.float32)
+
+    def pack(d, t):
+        return d.astype(jnp.float32) * 2.0 - t
+
+    def cond(state):
+        i, _, _, _, changed = state
+        return changed & (i < max_hops)
+
+    def body(state):
+        i, dist, tie_c, carr, _ = state
+        nd_src = dist + 1
+        # source-side key: inf when this cell's value can't propagate
+        # (dist+1 over the per-field cap folds the cap check into the key)
+        key_src = jnp.where(nd_src <= hops_cap[None, :],
+                            pack(nd_src, tie_c), jnp.inf)
+        payloads = [carr[j] for j in range(c)]
+        best_key, best_pay, _ = banded_select(
+            key_src, payloads, band_off, band_mask, rem_src, rem_dst,
+            gate=gate, rem_gate=rem_gate, minimize=True)
+        adopt = (best_key < pack(dist, tie_c)) & allow
+        new_dist = jnp.where(
+            adopt, jnp.ceil(best_key / 2.0).astype(jnp.int32), dist)
+        new_tie = jnp.where(adopt, new_dist.astype(jnp.float32) * 2.0
+                            - best_key, tie_c)
+        new_carr = jnp.stack(
+            [jnp.where(adopt, bp, carr[j])
+             for j, bp in enumerate(best_pay)]) if c else carr
+        return i + 1, new_dist, new_tie, new_carr, jnp.any(adopt)
+
+    _, dist, tie_out, carr, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, tie, carried, jnp.bool_(True))
+    )
+    dist_f = jnp.where(dist > hops_cap[None, :], jnp.inf,
+                       dist.astype(jnp.float32))
+    return dist_f, tie_out, carr
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def connected_components_gated(labels_eq, band_off, band_mask, rem_src,
+                               rem_dst):
+    """Min-label connected components over edges whose endpoints share the
+    same ``labels_eq`` value (banded replacement for ops.graph.
+    connected_components with an equality relation). Returns [N] i32."""
+    n = band_mask.shape[0]
+    gate = band_gate(labels_eq, band_off, band_mask)
+    rgate = rem_gate_eq(labels_eq, rem_src, rem_dst)
+    init = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        best = jnp.full(n, n, labels.dtype)
+        for d, off in enumerate(band_off):
+            best = jnp.minimum(best, jnp.where(gate[:, d],
+                                               band_shift(labels, off), n))
+        rem_lab = jnp.where(rgate, labels[rem_dst], n)
+        best = best.at[rem_src].min(rem_lab, mode="drop")
+        new = jnp.minimum(labels, jnp.where(best < n, best, labels))
+        new = new[new]
+        new = new[new]
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def flood_assign_banded(value, frontier, band_off, band_mask, rem_src,
+                        rem_dst):
+    """Banded drop-in for ops.graph.flood_assign: propagate ``value``
+    outward from ``frontier`` cells to all reachable unassigned cells,
+    breadth-first, ties toward the min value."""
+    big = jnp.iinfo(jnp.int32).max
+
+    def cond(state):
+        _, reached, changed = state
+        return changed
+
+    def body(state):
+        val, reached, _ = state
+        masked = jnp.where(reached, val, big)
+        best = banded_min(masked, band_off, band_mask, rem_src, rem_dst,
+                          fill=big)
+        newly = (~reached) & (best < big)
+        val = jnp.where(newly, best, val)
+        return val, reached | newly, jnp.any(newly)
+
+    val, reached, _ = jax.lax.while_loop(
+        cond, body, (value, frontier, jnp.bool_(True))
+    )
+    return val, reached
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def compute_gradients_banded(pos, field, east, north,
+                             band_off, band_mask, rem_src, rem_dst):
+    """Banded least-squares tangent gradients (drop-in for
+    climate.util.compute_gradients; js/wind.js:306-339 parity).
+
+    Every per-edge quantity decomposes into neighbor sums of per-cell
+    fields:  Σ de² = eᵀ M e  with  M = Σ p_jp_jᵀ - p_i Σp_jᵀ - (Σp_j)p_iᵀ
+    + deg·p_ip_iᵀ,  and  Σ de·df = e·(Σ f_jp_j - f_i Σp_j - p_i Σf_j
+    + deg f_i p_i) — so the whole stencil is ONE stacked banded_sum."""
+    n = pos.shape[0]
+    f2 = field if field.ndim == 2 else field[:, None]
+    nf = f2.shape[1]
+    # upper-triangle of p pᵀ (6), p (3), f (F), f·p (3F)
+    pp = jnp.stack([pos[:, 0] * pos[:, 0], pos[:, 0] * pos[:, 1],
+                    pos[:, 0] * pos[:, 2], pos[:, 1] * pos[:, 1],
+                    pos[:, 1] * pos[:, 2], pos[:, 2] * pos[:, 2]], axis=1)
+    fp = (f2[:, :, None] * pos[:, None, :]).reshape(n, 3 * nf)
+    stack = jnp.concatenate([pp, pos, f2, fp], axis=1)
+    s = banded_sum(stack, band_off, band_mask, rem_src, rem_dst)
+    deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
+
+    s_pp, s_p = s[:, :6], s[:, 6:9]
+    s_f, s_fp = s[:, 9:9 + nf], s[:, 9 + nf:].reshape(n, nf, 3)
+
+    def quad(v):  # vᵀ M v with M from the sums
+        vpp = (v[:, 0] * v[:, 0] * s_pp[:, 0]
+               + 2 * v[:, 0] * v[:, 1] * s_pp[:, 1]
+               + 2 * v[:, 0] * v[:, 2] * s_pp[:, 2]
+               + v[:, 1] * v[:, 1] * s_pp[:, 3]
+               + 2 * v[:, 1] * v[:, 2] * s_pp[:, 4]
+               + v[:, 2] * v[:, 2] * s_pp[:, 5])
+        vp = jnp.einsum("nc,nc->n", v, pos)
+        vsp = jnp.einsum("nc,nc->n", v, s_p)
+        return vpp - 2 * vp * vsp + deg * vp * vp
+
+    def cross(v):  # Σ de·df per field: [N,F]
+        vfp = jnp.einsum("nfc,nc->nf", s_fp, v)
+        vp = jnp.einsum("nc,nc->n", v, pos)
+        vsp = jnp.einsum("nc,nc->n", v, s_p)
+        return (vfp - f2 * vsp[:, None] - vp[:, None] * s_f
+                + deg[:, None] * f2 * vp[:, None])
+
+    sum_ee, sum_nn = quad(east), quad(north)
+    sum_ep, sum_np = cross(east), cross(north)
+    ge = jnp.where(sum_ee[:, None] > 1e-12,
+                   sum_ep / jnp.maximum(sum_ee, 1e-20)[:, None], 0.0)
+    gn = jnp.where(sum_nn[:, None] > 1e-12,
+                   sum_np / jnp.maximum(sum_nn, 1e-20)[:, None], 0.0)
+    if field.ndim == 1:
+        ge, gn = ge[:, 0], gn[:, 0]
+    return ge.astype(jnp.float32), gn.astype(jnp.float32)

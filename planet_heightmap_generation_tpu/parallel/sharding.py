@@ -17,6 +17,7 @@ XLA emits from the same jitted code — no hand-written communication.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional, Sequence
 
@@ -26,6 +27,23 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.noise import Tables, fbm
+
+
+@contextlib.contextmanager
+def no_persistent_cache():
+    """Serializing multi-device CPU executables into jax's persistent
+    compile cache segfaults (observed with the 8-device virtual mesh);
+    sharded compiles run under this guard. The initialized cache singleton
+    ignores config changes, so it must be reset on the way in AND out."""
+    from jax._src import compilation_cache as _cc
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        _cc.reset_cache()
 
 
 def make_planet_mesh(n_devices: Optional[int] = None,
@@ -98,20 +116,22 @@ def replicate(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
-def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
+def terrain_step(elev, pos, band_mask, rem_src, rem_dst, valid, perm, pm12,
+                 band_off):
     """One full terrain step — the framework's 'training step' analog: fbm
     tectonic forcing, then one composite erosion iteration with the REAL
-    production kernels (steepest-receiver routing, pointer-doubled flow
-    accumulation, the exact Braun-Willett affine solve, talus-slope thermal
-    transport, bilateral smoothing), closed by a global mean reduction that
-    rides collectives when sharded. Pure function of arrays;
-    jit/vmap/shard-friendly. Used by the compile-check entrypoints and the
-    multi-chip dry run. Mirrors one iteration of erodeComposite
-    (reference js/terrain-post.js:369-707)."""
+    production kernels (banded steepest-receiver routing, pointer-doubled
+    flow accumulation, the exact Braun-Willett affine solve, talus-slope
+    thermal transport, bilateral smoothing), closed by a global mean
+    reduction that rides collectives when sharded. Pure function of arrays
+    (+ the static band-offset tuple); jit/vmap/shard-friendly. Used by the
+    compile-check entrypoints and the multi-chip dry run. Mirrors one
+    iteration of erodeComposite (reference js/terrain-post.js:369-707)."""
     from ..erosion.fluvial import (steepest_receivers, flow_accumulation,
                                    stream_power_solve)
     from ..erosion.thermal import thermal_step
     from ..erosion.smooth import smooth_elevation
+    from ..ops.banded import band_nbr_dist
 
     t = Tables(perm, pm12)
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
@@ -119,9 +139,16 @@ def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
     e = elev + jnp.where(valid, uplift, 0.0)
     is_ocean = (e <= 0) & valid
 
+    band_dist = band_nbr_dist(pos, band_off, band_mask)
+    n = pos.shape[0]
+    src = jnp.clip(rem_src, 0, n - 1)
+    rem_dist = jnp.linalg.norm(pos[src] - pos[rem_dst],
+                               axis=1).astype(jnp.float32)
+
     # hydraulic: route → accumulate → implicit stream-power solve
     rcv, dist, is_pit = steepest_receivers(
-        e, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid)
+        e, is_ocean, valid, band_off, band_mask, band_dist,
+        rem_src, rem_dst, rem_dist)
     land = (~is_ocean) & valid
     flow = flow_accumulation(land, rcv, is_pit, rounds=12)
     e = stream_power_solve(
@@ -129,10 +156,11 @@ def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
         jnp.float32(3e-4), jnp.float32(0.5), jnp.float32(1.0), rounds=12)
 
     # thermal talus transport + ridge-preserving bilateral smooth
-    e = thermal_step(e, is_ocean, nbr_idx, nbr_mask, nbr_dist, valid,
+    e = thermal_step(e, is_ocean, valid, band_off, band_mask, band_dist,
+                     rem_src, rem_dst, rem_dist,
                      jnp.float32(0.8), jnp.float32(0.15))
-    e = smooth_elevation(e, is_ocean, nbr_idx, nbr_mask, valid, 1,
-                         jnp.float32(0.3))
+    e = smooth_elevation(e, is_ocean, valid, band_off, band_mask,
+                         rem_src, rem_dst, 1, jnp.float32(0.3))
 
     # a global reduction so the sharded step exercises collectives
     mean_land = jnp.sum(jnp.where(valid, e, 0.0)) / jnp.maximum(
@@ -140,18 +168,18 @@ def terrain_step(elev, pos, nbr_idx, nbr_mask, nbr_dist, valid, perm, pm12):
     return (e - 0.01 * mean_land).astype(jnp.float32)
 
 
-def batched_terrain_step(mesh: Mesh):
+def batched_terrain_step(mesh: Mesh, band_off: tuple):
     """jit of terrain_step vmapped over a seed batch and sharded over the
     ('seed','cells') mesh — the multi-chip 'training step' equivalent."""
-    vstep = jax.vmap(terrain_step,
+    vstep = jax.vmap(partial(terrain_step, band_off=band_off),
                      in_axes=(0, None, None, None, None, None, 0, 0))
 
     in_shardings = (
         NamedSharding(mesh, P("seed", "cells")),        # elev [B, N]
         NamedSharding(mesh, P("cells", None)),           # pos
-        NamedSharding(mesh, P("cells", None)),           # nbr_idx
-        NamedSharding(mesh, P("cells", None)),           # nbr_mask
-        NamedSharding(mesh, P("cells", None)),           # nbr_dist
+        NamedSharding(mesh, P("cells", None)),           # band_mask
+        NamedSharding(mesh, P()),                        # rem_src (replicated)
+        NamedSharding(mesh, P()),                        # rem_dst
         NamedSharding(mesh, P("cells")),                 # valid
         NamedSharding(mesh, P("seed", None)),            # perm [B, 512]
         NamedSharding(mesh, P("seed", None)),            # pm12

@@ -27,7 +27,8 @@ from ..mesh.build import SphereGraph, build_sphere
 from ..mesh.device import DeviceGraph, to_device
 from ..ops.rng import ParkMiller
 from ..ops.noise import tables
-from ..ops.graph import majority_smooth, connected_components, flood_assign
+from ..ops.graph import majority_smooth
+from ..ops.banded import connected_components_gated, flood_assign_banded
 from ..tectonics import (generate_coarse_plates, project_coarse_plates,
                          build_super_plates)
 from ..tectonics.coarse import assign_plate_densities
@@ -85,8 +86,7 @@ def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_p: int,
     r_plate = majority_smooth(r_plate, g.nbr_idx, g.nbr_mask, protect,
                               num_passes=num_passes)
 
-    same = (r_plate[g.nbr_idx] == r_plate[:, None])
-    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    labels = connected_components_gated(r_plate, *g.bands)
     n = g.n_padded
     sizes = jax.ops.segment_sum(
         g.valid.astype(jnp.int32), labels, num_segments=n)
@@ -98,7 +98,7 @@ def _smooth_and_reconnect_device(g: DeviceGraph, r_plate, num_p: int,
     min_tied = jax.ops.segment_min(
         jnp.where(is_max & g.valid, labels, n), r_plate, num_segments=num_p)
     in_main = is_max & (labels == min_tied[r_plate]) & g.valid
-    val, _ = flood_assign(r_plate, in_main, g.nbr_idx, g.nbr_mask)
+    val, _ = flood_assign_banded(r_plate, in_main, *g.bands)
     return jnp.where(g.valid, val, r_plate).astype(jnp.int32)
 
 
@@ -308,10 +308,15 @@ class PlanetEngine:
 
             args = s.args
             if self._mesh is not None:
-                from ..parallel.sharding import shard_fused_args
+                from ..parallel.sharding import (shard_fused_args,
+                                                 no_persistent_cache)
                 args = shard_fused_args(self._mesh, args)
-            with timer.stage("Device pipeline (fused)"):
-                out = fused_pipeline(s.spec)(*args)
+                with no_persistent_cache(), \
+                        timer.stage("Device pipeline (fused)"):
+                    out = fused_pipeline(s.spec)(*args)
+            else:
+                with timer.stage("Device pipeline (fused)"):
+                    out = fused_pipeline(s.spec)(*args)
             r_plate = out["r_plate"]
             pre_post = out["pre_post"]
             elevation = out["elevation"]
@@ -812,8 +817,7 @@ def _derive_synthetic_plates(g: DeviceGraph, elevation):
     from ..tectonics.plates import PlateSet
 
     is_ocean = (elevation <= 0) & g.valid
-    same = (is_ocean[g.nbr_idx] == is_ocean[:, None])
-    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    labels = connected_components_gated(is_ocean.astype(jnp.int32), *g.bands)
     labels_np = np.asarray(labels)[: g.n_cells]
     uniq, r_plate_np = np.unique(labels_np, return_inverse=True)
     p = len(uniq)

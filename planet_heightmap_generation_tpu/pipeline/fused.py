@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..config import GenerationParams
 from ..mesh.device import DeviceGraph
-from ..ops.graph import majority_smooth, connected_components, flood_assign
+from ..ops.graph import majority_smooth
+from ..ops.banded import connected_components_gated, flood_assign_banded
 from ..elevation import assign_elevation
 from ..erosion import run_post_processing
 from ..climate import (compute_wind, compute_ocean_currents,
@@ -46,8 +47,7 @@ def smooth_and_reconnect(g: DeviceGraph, r_plate, num_p: int, num_passes=3):
     r_plate = majority_smooth(r_plate, g.nbr_idx, g.nbr_mask, protect,
                               num_passes=num_passes)
 
-    same = (r_plate[g.nbr_idx] == r_plate[:, None])
-    labels = connected_components(g.nbr_idx, g.nbr_mask, same)
+    labels = connected_components_gated(r_plate, *g.bands)
     n = g.n_padded
     sizes = jax.ops.segment_sum(
         g.valid.astype(jnp.int32), labels, num_segments=n)
@@ -59,7 +59,7 @@ def smooth_and_reconnect(g: DeviceGraph, r_plate, num_p: int, num_passes=3):
     min_tied = jax.ops.segment_min(
         jnp.where(is_max & g.valid, labels, n), r_plate, num_segments=num_p)
     in_main = is_max & (labels == min_tied[r_plate]) & g.valid
-    val, _ = flood_assign(r_plate, in_main, g.nbr_idx, g.nbr_mask)
+    val, _ = flood_assign_banded(r_plate, in_main, *g.bands)
     return jnp.where(g.valid, val, r_plate).astype(jnp.int32)
 
 

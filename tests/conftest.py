@@ -26,6 +26,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # CPU test backend costs minutes per test. The fused path itself is covered
 # explicitly by tests/test_fused.py (PlanetEngine(timing=False)).
 os.environ.setdefault("PLANET_TIMING", "1")
+# No persistent compile cache on the CPU test backend: this jaxlib's
+# XLA:CPU AOT deserialization is machine-feature sensitive and
+# intermittently segfaults reloading entries (see package __init__).
+os.environ.setdefault("PLANET_JAX_CACHE", "0")
 
 import jax  # noqa: E402
 

@@ -175,3 +175,74 @@ def test_propagate_stress_banded(g):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
                                rtol=1e-6, atol=1e-7)
     assert (np.asarray(got_f) == np.asarray(ref_f)).mean() > 0.999
+
+
+def test_band_bfs_banded(g):
+    from planet_heightmap_generation_tpu.ops.graph import band_bfs
+    from planet_heightmap_generation_tpu.ops.banded import (
+        band_bfs_banded, band_gate, rem_gate_eq)
+    rng = np.random.default_rng(13)
+    n = g.n_padded
+    f = 3
+    seeds = np.zeros((n, f), bool)
+    for k in range(f):
+        seeds[rng.integers(0, g.n_cells, 60), k] = True
+    carr = rng.random((2, n, f)).astype(np.float32) * seeds[None]
+    tie = (rng.random((n, f)).astype(np.float32) * seeds)
+    lab = jnp.asarray((np.asarray(g.pos)[:, 0] * 5).astype(np.int32))
+    allow = np.ones((n, f), bool)
+    allow[np.asarray(g.pos)[:, 2] > 0.9, 1] = False
+    caps = jnp.asarray([6, 9, 4], jnp.int32)
+    edge_gate = (lab[g.nbr_idx] == lab[:, None]) & g.nbr_mask
+    use_gate = jnp.asarray([True, False, True])
+
+    ref_d, ref_t, ref_c = band_bfs(
+        jnp.asarray(seeds), jnp.asarray(carr), g.nbr_idx, g.nbr_mask,
+        max_hops=9, hops_cap=caps, allow=jnp.asarray(allow),
+        edge_gate=edge_gate, use_gate=use_gate, tie=jnp.asarray(tie),
+        num_carry=2)
+
+    eq = band_gate(lab, g.band_off, g.band_mask)
+    gate = jnp.where(use_gate[None, None, :], eq[:, :, None],
+                     g.band_mask[:, :, None])
+    req = rem_gate_eq(lab, g.rem_src, g.rem_dst)
+    rgate = jnp.where(use_gate[None, :], req[:, None], True)
+    got_d, got_t, got_c = band_bfs_banded(
+        jnp.asarray(seeds), jnp.asarray(carr), *g.bands,
+        max_hops=9, hops_cap=caps, allow=jnp.asarray(allow),
+        gate=gate, rem_gate=rgate, tie=jnp.asarray(tie), num_carry=2)
+
+    rd, qd = np.asarray(ref_d), np.asarray(got_d)
+    assert np.array_equal(np.isfinite(rd), np.isfinite(qd))
+    fin = np.isfinite(rd)
+    np.testing.assert_array_equal(rd[fin], qd[fin])
+    # ties agree within the float-key packing precision (~1e-6 at these
+    # hop counts); carries agree except where bit-equal keys chose
+    # different parents — rare on random ties
+    assert np.isclose(np.asarray(ref_t), np.asarray(got_t),
+                      atol=2e-5).mean() > 0.995
+    assert (np.asarray(ref_c) == np.asarray(got_c)).mean() > 0.995
+
+
+def test_compute_gradients_banded(g):
+    from planet_heightmap_generation_tpu.climate.util import (
+        compute_gradients, geo_frame)
+    from planet_heightmap_generation_tpu.ops.banded import (
+        compute_gradients_banded)
+    gf = geo_frame(g.pos)
+    f2 = _rand(g, shape=(2,), seed=21)
+    ref_e, ref_n = compute_gradients(g.pos, f2, gf.east, gf.north,
+                                     g.nbr_idx, g.nbr_mask)
+    got_e, got_n = compute_gradients_banded(g.pos, f2, gf.east, gf.north,
+                                            *g.bands)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(ref_n),
+                               rtol=5e-3, atol=5e-4)
+    f1 = _rand(g, seed=22)
+    r_e, r_n = compute_gradients(g.pos, f1, gf.east, gf.north,
+                                 g.nbr_idx, g.nbr_mask)
+    q_e, q_n = compute_gradients_banded(g.pos, f1, gf.east, gf.north,
+                                        *g.bands)
+    np.testing.assert_allclose(np.asarray(q_e), np.asarray(r_e),
+                               rtol=5e-3, atol=5e-4)

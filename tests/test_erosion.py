@@ -39,7 +39,7 @@ def terrain():
 def test_open_ocean_is_largest_component(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
-    oo = np.asarray(open_ocean_mask(is_ocean, gd.nbr_idx, gd.nbr_mask, gd.valid))
+    oo = np.asarray(open_ocean_mask(is_ocean, gd.valid, *gd.bands))
     assert oo.sum() > 0
     assert (oo & ~np.asarray(is_ocean)).sum() == 0
 
@@ -50,7 +50,7 @@ def test_flood_drainage_invariant(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
     out, drain, surface = priority_flood_carve(
-        e, is_ocean, gd.nbr_idx, gd.nbr_mask, gd.valid, jnp.float32(0.5))
+        e, is_ocean, gd.valid, *gd.bands, jnp.float32(0.5))
     out = np.asarray(out)
     drain = np.asarray(drain)
     is_ocean_np = np.asarray(is_ocean)
@@ -77,7 +77,7 @@ def test_flood_preserves_ocean(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
     out, _, _ = priority_flood_carve(
-        e, is_ocean, gd.nbr_idx, gd.nbr_mask, gd.valid, jnp.float32(0.5))
+        e, is_ocean, gd.valid, *gd.bands, jnp.float32(0.5))
     np.testing.assert_array_equal(
         np.asarray(out)[np.asarray(is_ocean)], np.asarray(e)[np.asarray(is_ocean)])
 
@@ -134,8 +134,11 @@ def test_stream_power_erodes_uphill_cells():
 def test_thermal_conserves_mass(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
-    out = thermal_step(e, is_ocean, gd.nbr_idx, gd.nbr_mask, gd.nbr_dist,
-                       gd.valid, jnp.float32(0.1), jnp.float32(0.15))
+    from planet_heightmap_generation_tpu.erosion.composite import _edge_lengths
+    band_dist, rem_dist = _edge_lengths(gd)
+    out = thermal_step(e, is_ocean, gd.valid, gd.band_off, gd.band_mask,
+                       band_dist, gd.rem_src, gd.rem_dst, rem_dist,
+                       jnp.float32(0.1), jnp.float32(0.15))
     land = np.asarray((~is_ocean) & gd.valid)
     d = np.asarray(out) - np.asarray(e)
     assert abs(d[land].sum()) < 1e-2          # land-to-land transport conserves
@@ -146,7 +149,7 @@ def test_thermal_conserves_mass(terrain):
 def test_smooth_reduces_variance(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
-    out = smooth_elevation(e, is_ocean, gd.nbr_idx, gd.nbr_mask, gd.valid,
+    out = smooth_elevation(e, is_ocean, gd.valid, *gd.bands,
                            3, jnp.float32(0.5))
     land = np.asarray((~is_ocean) & gd.valid)
     assert np.var(np.asarray(out)[land]) < np.var(np.asarray(e)[land])
@@ -155,8 +158,8 @@ def test_smooth_reduces_variance(terrain):
 def test_sharpen_caps_at_1_5x(terrain):
     g, gd, e = terrain
     is_ocean = (e <= 0) & gd.valid
-    out = np.asarray(sharpen_ridges(e, is_ocean, gd.nbr_idx, gd.nbr_mask,
-                                    gd.valid, 4, jnp.float32(0.3)))
+    out = np.asarray(sharpen_ridges(e, is_ocean, gd.valid, *gd.bands,
+                                    4, jnp.float32(0.3)))
     land = np.asarray((~is_ocean) & gd.valid)
     assert (out[land] <= np.asarray(e)[land] * 1.5 + 1e-6).all()
 
@@ -167,8 +170,8 @@ def test_soil_creep_locks_coast(terrain):
     coastal = np.asarray(
         (~is_ocean) & gd.valid
         & jnp.any(is_ocean[gd.nbr_idx] & gd.nbr_mask, axis=1))
-    out = np.asarray(apply_soil_creep(e, is_ocean, gd.nbr_idx, gd.nbr_mask,
-                                      gd.valid, 3, jnp.float32(0.1125)))
+    out = np.asarray(apply_soil_creep(e, is_ocean, gd.valid, *gd.bands,
+                                      3, jnp.float32(0.1125)))
     np.testing.assert_array_equal(out[coastal], np.asarray(e)[coastal])
     np.testing.assert_array_equal(out[np.asarray(is_ocean)],
                                   np.asarray(e)[np.asarray(is_ocean)])
@@ -247,9 +250,9 @@ def test_flood_island_in_inland_sea_not_filled(tiny_sphere):
     elev_j = jnp.asarray(elev)
     is_ocean = (elev_j <= 0) & jnp.asarray(g.valid)
 
+    gd2 = to_device(g)
     out, drain, surface = priority_flood_carve(
-        elev_j, is_ocean, jnp.asarray(g.nbr_idx), jnp.asarray(g.nbr_mask),
-        jnp.asarray(g.valid), jnp.float32(0.5))
+        elev_j, is_ocean, gd2.valid, *gd2.bands, jnp.float32(0.5))
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert out.max() < 10.0, f"flood leaked big values: {out.max()}"
