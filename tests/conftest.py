@@ -17,9 +17,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# this jaxlib's XLA:CPU compiler intermittently segfaults/aborts deep into
+# long-lived many-compile processes; single-split codegen avoids the
+# suspected parallel-codegen race (and costs little on the 1-core host)
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # Default engines to the staged path in tests: the fused production path
 # compiles one big XLA program per unique GenerationParams spec, which on the

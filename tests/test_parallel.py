@@ -84,20 +84,56 @@ def test_sharded_matches_single_device():
 
 def test_sharded_engine_generate_matches_single():
     """The REAL pipeline (engine.generate, fused path) sharded over an
-    8-device 'cells' mesh must equal the single-device run (VERDICT r1 #4)."""
-    from planet_heightmap_generation_tpu.config import GenerationParams
-    from planet_heightmap_generation_tpu.pipeline import PlanetEngine
-    from planet_heightmap_generation_tpu.parallel.sharding import cells_mesh
+    8-device 'cells' mesh must equal the single-device run (VERDICT r1 #4).
 
-    params = GenerationParams(seed=11, n_cells=4000, n_plates=10,
-                              num_continents=2, skip_climate=True)
-    single = PlanetEngine(timing=False).generate(params)
-    mesh = cells_mesh(8, devices=jax.devices("cpu"))
-    sharded = PlanetEngine(timing=False, mesh=mesh).generate(params)
-    a = np.asarray(single.elevation)
-    b = np.asarray(sharded.elevation)
-    assert np.abs(a - b).max() < 2e-3
-    assert sharded.diagnostics()["nan_count"] == 0
+    Runs in a fresh subprocess — the two fused-engine compiles here are
+    among the largest XLA:CPU compiles in the suite, and this jaxlib's CPU
+    compiler intermittently segfaults late in a long-lived process (see
+    test_vmapped_batch_matches_sequential)."""
+    _run_in_fresh_process("""
+        import numpy as np
+        import jax
+        from planet_heightmap_generation_tpu.config import GenerationParams
+        from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+        from planet_heightmap_generation_tpu.parallel.sharding import \\
+            cells_mesh
+
+        params = GenerationParams(seed=11, n_cells=4000, n_plates=10,
+                                  num_continents=2, skip_climate=True)
+        single = PlanetEngine(timing=False).generate(params)
+        mesh = cells_mesh(8, devices=jax.devices("cpu"))
+        sharded = PlanetEngine(timing=False, mesh=mesh).generate(params)
+        a = np.asarray(single.elevation)
+        b = np.asarray(sharded.elevation)
+        assert np.abs(a - b).max() < 2e-3, np.abs(a - b).max()
+        assert sharded.diagnostics()["nan_count"] == 0
+        print("SUBPROC_OK")
+    """)
+
+
+def _run_in_fresh_process(body: str):
+    """Execute a test body in a fresh CPU-backend subprocess (8 virtual
+    devices, no persistent compile cache) and assert it prints SUBPROC_OK."""
+    import subprocess
+    import sys
+    import textwrap
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PLANET_JAX_CACHE"] = "0"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    for k in list(env):
+        if k.startswith("PALLAS_AXON"):
+            env.pop(k)
+    r = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(body)], env=env,
+        capture_output=True, text=True, timeout=2100,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0 and "SUBPROC_OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
 
 
 def test_vmapped_batch_matches_sequential():
@@ -108,11 +144,7 @@ def test_vmapped_batch_matches_sequential():
     XLA:CPU compile in the suite and this jaxlib's CPU compiler
     intermittently segfaults on it late in a long-lived test process
     (compiles fine in a fresh one — allocator/stack state dependent)."""
-    import subprocess
-    import sys
-    import textwrap
-
-    script = textwrap.dedent("""
+    _run_in_fresh_process("""
         import numpy as np
         from planet_heightmap_generation_tpu.config import GenerationParams
         from planet_heightmap_generation_tpu.parallel.batch import \\
@@ -131,17 +163,5 @@ def test_vmapped_batch_matches_sequential():
             # must agree to ~1e-2 elevation units
             assert np.abs(a1 - a2).max() < 1.5e-2, "vmapped != sequential"
             assert b.diagnostics()["nan_count"] == 0
-        print("VMAP_BATCH_OK")
+        print("SUBPROC_OK")
     """)
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"        # force even when the container
-    env["PLANET_JAX_CACHE"] = "0"       # env selects the TPU backend
-    for k in list(env):                 # axon sitecustomize trigger
-        if k.startswith("PALLAS_AXON"):
-            env.pop(k)
-    r = subprocess.run([sys.executable, "-c", script], env=env,
-                       capture_output=True, text=True, timeout=2100,
-                       cwd=os.path.dirname(os.path.dirname(
-                           os.path.abspath(__file__))))
-    assert r.returncode == 0 and "VMAP_BATCH_OK" in r.stdout, (
-        r.stdout[-2000:], r.stderr[-2000:])
