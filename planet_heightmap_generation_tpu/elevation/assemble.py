@@ -500,7 +500,7 @@ def assign_elevation(
         st2, sf2 = propagate_stress_banded(
             jnp.stack([small.stress, sup.stress], 1),
             jnp.stack([small.subduct, sup.subduct], 1),
-            jnp.stack([gate_small, gate_sup], 2),
+            (gate_small, gate_sup),
             jnp.stack([rgate_small, rgate_sup], 1),
             jnp.stack([plate_is_ocean[r_plate],
                        super_is_ocean[r_super_plate]], 1),
@@ -510,7 +510,7 @@ def assign_elevation(
     else:
         st2, sf2 = propagate_stress_banded(
             col.stress[:, None], col.subduct[:, None],
-            gate_small[:, :, None], rgate_small[:, None],
+            (gate_small,), rgate_small[:, None],
             plate_is_ocean[r_plate][:, None],
             *g.bands, decay, sub_decay, num_passes)
         stress, subduct = st2[:, 0], sf2[:, 0]
@@ -601,8 +601,6 @@ def assign_elevation(
     zero = jnp.zeros(npad, jnp.float32)
     band_hops = max(rift_half, ridge_half, fracture_half, ba_end, max_arc)
     use_gate5 = jnp.asarray([True, False, False, True, True])
-    gate5 = jnp.where(use_gate5[None, None, :], gate_small[:, :, None],
-                      g.band_mask[:, :, None])
     rgate5 = jnp.where(use_gate5[None, :], rgate_small[:, None], True)
     band_dist, _, band_carry = band_bfs_banded(
         jnp.stack([rift_seeds, ridge_seeds, frac_seeds, ba_seeds,
@@ -615,7 +613,7 @@ def assign_elevation(
                               ba_end, max_arc], jnp.int32),
         allow=jnp.stack([land_mask, r_is_ocean, r_is_ocean, all_cells,
                          r_is_ocean], 1),
-        gate=gate5, rem_gate=rgate5,
+        gate_mix=(gate_small, use_gate5), rem_gate=rgate5,
         num_carry=1)
     rift_dist = band_dist[:, 0]
     ridge_dist = band_dist[:, 1]

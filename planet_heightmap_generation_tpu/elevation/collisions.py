@@ -50,37 +50,86 @@ def _pair_intensity(a, b):
 def find_collisions(g: DeviceGraph, r_plate, plate_is_ocean, plate_pole,
                     plate_omega, plate_density, noise_t: Tables,
                     dt: float, undul_octaves: int = 3) -> CollisionResult:
+    """Banded + component-wise: the best-compressing foreign neighbor is an
+    argmax over the roll bands with [N] scalar arrays only. The former
+    [N,K(,3)] intermediates tile-padded 16x on TPU (minor dim 8 -> 128
+    lanes), and even a [N,3] gather result can land in a {1,0} layout that
+    pads 40x — every vector here lives as three [N] components."""
+    from ..ops.banded import band_shift, _rem_real
+
     pos = g.pos
     n = pos.shape[0]
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
 
     # per-cell plate velocity v = omega * (pole x r)  (js/elevation.js:10-20)
-    pole = plate_pole[r_plate]                       # [N, 3]
-    omega = plate_omega[r_plate][:, None]
-    vel = omega * jnp.cross(pole, pos)               # [N, 3]
+    ox = plate_pole[:, 0][r_plate]
+    oy = plate_pole[:, 1][r_plate]
+    oz = plate_pole[:, 2][r_plate]
+    omega = plate_omega[r_plate]
+    vx = omega * (oy * pz - oz * py)
+    vy = omega * (oz * px - ox * pz)
+    vz = omega * (ox * py - oy * px)
 
-    nb = g.nbr_idx
-    p_nb = r_plate[nb]                               # [N, K]
-    foreign = g.nbr_mask & (p_nb != r_plate[:, None])
+    def edge_metrics(idx_a, idx_b, shift_off):
+        """comp/normal for edges a→b given either a roll offset (banded,
+        idx_* None) or index arrays (remainder)."""
+        if shift_off is not None:
+            bpx, bpy, bpz = (band_shift(px, shift_off),
+                             band_shift(py, shift_off),
+                             band_shift(pz, shift_off))
+            bvx, bvy, bvz = (band_shift(vx, shift_off),
+                             band_shift(vy, shift_off),
+                             band_shift(vz, shift_off))
+            apx, apy, apz, avx, avy, avz = px, py, pz, vx, vy, vz
+        else:
+            apx, apy, apz = px[idx_a], py[idx_a], pz[idx_a]
+            avx, avy, avz = vx[idx_a], vy[idx_a], vz[idx_a]
+            bpx, bpy, bpz = px[idx_b], py[idx_b], pz[idx_b]
+            bvx, bvy, bvz = vx[idx_b], vy[idx_b], vz[idx_b]
+        dx, dy, dz = apx - bpx, apy - bpy, apz - bpz
+        d_before = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rvx, rvy, rvz = avx - bvx, avy - bvy, avz - bvz
+        ax, ay, az = dx + rvx * dt, dy + rvy * dt, dz + rvz * dt
+        d_after = jnp.sqrt(ax * ax + ay * ay + az * az)
+        comp = d_before - d_after
+        normal = (-(rvx * dx + rvy * dy + rvz * dz)
+                  / jnp.where(d_before == 0, 1.0, d_before))
+        return comp, normal
 
-    pos_nb = pos[nb]                                 # [N, K, 3]
-    vel_nb = vel[nb]
-    d = pos[:, None, :] - pos_nb
-    d_before = jnp.sqrt(jnp.sum(d * d, axis=-1))
-    a = pos[:, None, :] + vel[:, None, :] * dt
-    b = pos_nb + vel_nb * dt
-    ad = a - b
-    d_after = jnp.sqrt(jnp.sum(ad * ad, axis=-1))
-    comp = jnp.where(foreign, d_before - d_after, -jnp.inf)
+    neg_inf = -jnp.inf
+    best_comp = jnp.full(n, neg_inf)
+    best_normal = jnp.zeros(n, jnp.float32)
+    best_plate = r_plate
+    for bd, off in enumerate(g.band_off):
+        plate_j = band_shift(r_plate, off)
+        foreign_d = g.band_mask[:, bd] & (plate_j != r_plate)
+        comp, normal = edge_metrics(None, None, off)
+        comp = jnp.where(foreign_d, comp, neg_inf)
+        upd = comp > best_comp
+        best_comp = jnp.where(upd, comp, best_comp)
+        best_normal = jnp.where(upd, normal, best_normal)
+        best_plate = jnp.where(upd, plate_j, best_plate)
+    # remainder edges (pole fan, jitter outliers): two-phase scatter-max
+    rem_src, rem_dst = g.rem_src, g.rem_dst
+    src = jnp.clip(rem_src, 0, n - 1)
+    real = _rem_real(rem_src, n)
+    plate_r = r_plate[rem_dst]
+    foreign_r = real & (plate_r != r_plate[src])
+    comp_r, normal_r = edge_metrics(src, rem_dst, None)
+    comp_r = jnp.where(foreign_r, comp_r, neg_inf)
+    w = jnp.full(n, neg_inf).at[rem_src].max(comp_r, mode="drop")
+    is_win = foreign_r & (comp_r == w[src]) & jnp.isfinite(comp_r)
+    pick_n = jnp.full(n, neg_inf).at[rem_src].max(
+        jnp.where(is_win, normal_r, neg_inf), mode="drop")
+    pick_p = jnp.full(n, -1.0).at[rem_src].max(
+        jnp.where(is_win, plate_r.astype(jnp.float32), -1.0), mode="drop")
+    upd = w > best_comp
+    best_comp = jnp.where(upd, w, best_comp)
+    best_normal = jnp.where(upd, pick_n, best_normal)
+    best_plate = jnp.where(upd, pick_p.astype(jnp.int32), best_plate)
 
-    best = jnp.argmax(comp, axis=1)                  # [N]
-    has = foreign.any(axis=1)
-    best_comp = jnp.take_along_axis(comp, best[:, None], 1)[:, 0]
-
-    rv = vel[:, None, :] - vel_nb                    # relative velocity
-    normal = -jnp.sum(rv * d, axis=-1) / jnp.where(d_before == 0, 1.0, d_before)
-    best_normal = jnp.take_along_axis(normal, best[:, None], 1)[:, 0]
-    best_plate = jnp.take_along_axis(p_nb, best[:, None], 1)[:, 0]
-
+    has = jnp.isfinite(best_comp)
+    best_comp = jnp.where(has, best_comp, 0.0)
     collided = has & (best_comp > COLLISION_THRESHOLD * dt)
 
     thresh = 0.3 * dt

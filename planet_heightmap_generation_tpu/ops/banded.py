@@ -184,7 +184,7 @@ def _rem_real(rem_src, npad):
 def banded_select(key_src, payloads, band_off, band_mask, rem_src, rem_dst,
                   gate=None, rem_gate=None, minimize=False,
                   edge_payloads=None, rem_edge_payloads=None,
-                  fill=None):
+                  fill=None, gate_mix=None, gate_stack=None):
     """Per-cell best-neighbor selection: for each cell i, find the neighbor
     j maximizing (or minimizing) ``key_src[j]`` over gated edges, and return
     that neighbor's payload values — the banded replacement for the
@@ -217,7 +217,22 @@ def banded_select(key_src, payloads, band_off, band_mask, rem_src, rem_dst,
     best_epay = [jnp.zeros_like(ep[:, 0]) for ep in edge_payloads]
 
     for d, off in enumerate(band_off):
-        m = band_mask[:, d] if gate is None else gate[:, d]
+        # per-band gate, built lazily — a materialized [N,D,F] gate tensor
+        # tile-pads badly on TPU (977MB of pred at 4M cells), so the
+        # structured forms compose per band instead:
+        #   gate_mix  = (eq_gate [N,D], use [F]): field f uses eq_gate
+        #               where use[f], else the plain band mask
+        #   gate_stack= tuple of per-field [N,D] gates
+        if gate_mix is not None:
+            eq, use = gate_mix
+            m = jnp.where(use[None, :], eq[:, d, None],
+                          band_mask[:, d, None])
+        elif gate_stack is not None:
+            m = jnp.stack([gf[:, d] for gf in gate_stack], axis=1)
+        elif gate is None:
+            m = band_mask[:, d]
+        else:
+            m = gate[:, d]
         k = jnp.where(_expand(m, key_src), band_shift(key_src, off), fill)
         upd = better(k, best_key)
         best_key = jnp.where(upd, k, best_key)
@@ -259,13 +274,14 @@ def _expand_u(mask, like):
 
 
 @partial(jax.jit, static_argnames=("band_off", "num_passes"))
-def propagate_stress_banded(stress, subduct, gate, rem_gate, ocean_cell,
+def propagate_stress_banded(stress, subduct, gate_stack, rem_gate, ocean_cell,
                             band_off, band_mask, rem_src, rem_dst,
                             decay, subduct_decay, num_passes):
     """Banded drop-in for elevation.collisions.propagate_stress_multi:
     G stress layers relax together; per sweep each cell adopts the
     strongest propagated stress among gated (same-plate) neighbors, the
-    subduct factor riding along. gate: [N,D,G]; rem_gate: [M,G]."""
+    subduct factor riding along. gate_stack: tuple of G [N,D] gates
+    (kept separate so no [N,D,G] tensor lands in HBM); rem_gate: [M,G]."""
     active0 = stress > 0.01
 
     def cond(state):
@@ -280,7 +296,7 @@ def propagate_stress_banded(stress, subduct, gate, rem_gate, ocean_cell,
         key = jnp.where(sendable, prop, -jnp.inf)
         best, (src_sf,), _ = banded_select(
             key, [sf], band_off, band_mask, rem_src, rem_dst,
-            gate=gate, rem_gate=rem_gate)
+            gate_stack=gate_stack, rem_gate=rem_gate)
         upd = best > stress
         stress2 = jnp.where(upd, best, stress)
         sf2 = jnp.where(upd, src_sf, sf)
@@ -305,7 +321,8 @@ def rem_gate_eq(cell_value, rem_src, rem_dst):
 @partial(jax.jit, static_argnames=("band_off", "max_hops", "num_carry"))
 def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
                     max_hops: int, hops_cap=None, allow=None,
-                    gate=None, rem_gate=None, tie=None, num_carry: int = 0):
+                    gate=None, rem_gate=None, tie=None, num_carry: int = 0,
+                    gate_mix=None):
     """Banded drop-in for ops.graph.band_bfs: F carry-propagating BFS bands
     in one roll-sweep loop.
 
@@ -349,7 +366,7 @@ def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
         payloads = [carr[j] for j in range(c)]
         best_key, best_pay, _ = banded_select(
             key_src, payloads, band_off, band_mask, rem_src, rem_dst,
-            gate=gate, rem_gate=rem_gate, minimize=True)
+            gate=gate, rem_gate=rem_gate, minimize=True, gate_mix=gate_mix)
         adopt = (best_key < pack(dist, tie_c)) & allow
         new_dist = jnp.where(
             adopt, jnp.ceil(best_key / 2.0).astype(jnp.int32), dist)

@@ -161,8 +161,8 @@ def test_propagate_stress_banded(g):
 
     from planet_heightmap_generation_tpu.ops.banded import (
         band_gate, rem_gate_eq, propagate_stress_banded)
-    gate = jnp.stack([band_gate(lab1, g.band_off, g.band_mask),
-                      band_gate(lab2, g.band_off, g.band_mask)], 2)
+    gate = (band_gate(lab1, g.band_off, g.band_mask),
+            band_gate(lab2, g.band_off, g.band_mask))
     rg = jnp.stack([rem_gate_eq(lab1, g.rem_src, g.rem_dst),
                     rem_gate_eq(lab2, g.rem_src, g.rem_dst)], 1)
     got_s, got_f = propagate_stress_banded(
@@ -203,14 +203,13 @@ def test_band_bfs_banded(g):
         num_carry=2)
 
     eq = band_gate(lab, g.band_off, g.band_mask)
-    gate = jnp.where(use_gate[None, None, :], eq[:, :, None],
-                     g.band_mask[:, :, None])
     req = rem_gate_eq(lab, g.rem_src, g.rem_dst)
     rgate = jnp.where(use_gate[None, :], req[:, None], True)
     got_d, got_t, got_c = band_bfs_banded(
         jnp.asarray(seeds), jnp.asarray(carr), *g.bands,
         max_hops=9, hops_cap=caps, allow=jnp.asarray(allow),
-        gate=gate, rem_gate=rgate, tie=jnp.asarray(tie), num_carry=2)
+        gate_mix=(eq, use_gate), rem_gate=rgate, tie=jnp.asarray(tie),
+        num_carry=2)
 
     rd, qd = np.asarray(ref_d), np.asarray(got_d)
     assert np.array_equal(np.isfinite(rd), np.isfinite(qd))
