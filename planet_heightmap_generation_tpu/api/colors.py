@@ -25,7 +25,7 @@ BIOME_COLORS = np.array([
     [0.05, 0.18, 0.07], [0.35, 0.32, 0.22], [0.78, 0.80, 0.84],
 ], dtype=np.float32)
 
-ROCK_COLOR = jnp.asarray([0.42, 0.38, 0.32], jnp.float32)
+ROCK_COLOR = np.asarray([0.42, 0.38, 0.32], np.float32)
 
 # altitude thresholds [alpine, snow] per Köppen id (js/color-map.js:56-68)
 def _thresholds_table():
@@ -108,7 +108,7 @@ def biome_color(koppen_id, elevation):
     c = c + (ROCK_COLOR - c) * s_rock[..., None]
     snow_t = jnp.clip((h - snow) / 2.5, 0.0, 1.0)
     s_snow = jnp.where((snow > 0) & (h > snow), snow_t * snow_t, 0.0)
-    snow_c = jnp.asarray([0.92, 0.93, 0.96], jnp.float32)
+    snow_c = np.asarray([0.92, 0.93, 0.96], np.float32)
     c = c + (snow_c - c) * s_snow[..., None]
 
     ocean = (koppen_id == 0) | (elevation <= 0)

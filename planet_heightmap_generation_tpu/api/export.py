@@ -130,8 +130,8 @@ def export_map(g: DeviceGraph, elevation, export_type: str = "heightmap",
         img = elevation_to_color(e)
     elif export_type == "koppen":
         kop = koppen[cell_ids]
-        img = jnp.asarray(np.asarray(KOPPEN_COLORS, np.float32))[
-            jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1)]
+        img = jnp.take(np.asarray(KOPPEN_COLORS, np.float32), axis=0, indices=
+            jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1))
     else:  # biome
         kop = koppen[cell_ids]
         img = biome_color(kop, e)
@@ -224,8 +224,8 @@ def export_map_tiled(graph, elevation, export_type: str, path: str,
             return elevation_to_color(e)
         kop = koppen[ids]
         if export_type == "koppen":
-            return jnp.asarray(np.asarray(KOPPEN_COLORS, np.float32))[
-                jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1)]
+            return jnp.take(np.asarray(KOPPEN_COLORS, np.float32), axis=0, indices=
+                jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1))
         return biome_color(kop, e)
 
     with _PngStream(path, width, height) as png:

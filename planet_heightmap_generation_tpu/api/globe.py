@@ -104,11 +104,17 @@ _VIEWER = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def export_globe(result, out_dir: str, layer="terrain") -> str:
-    """Write globe geometry (positions f32 + per-layer color u8 buffers),
-    a manifest, and the self-contained WebGL viewer into ``out_dir``.
-    ``layer`` may be one name or a sequence — multiple layers share the
-    geometry and the viewer gets a layer dropdown (the reference's inspect
-    dropdown, index.html:286-325). Returns the viewer HTML path."""
+    """Write globe geometry (positions f32 + per-layer color u8 buffers +
+    a per-cell info block), a manifest, and the self-contained WebGL viewer
+    into ``out_dir``. ``layer`` may be one name or a sequence — multiple
+    layers share the geometry and the viewer gets a layer dropdown (the
+    reference's inspect dropdown, index.html:286-325).
+
+    The per-cell block (unit positions + per-halfedge cell ids + elevation
+    + climate fields when present) powers the viewer's map mode, analytical
+    max-dot picking and hover info card — the reference's interactive
+    equirect map + edit-mode hover (js/planet-mesh.js:200-382,
+    js/edit-mode.js:18-163). Returns the viewer HTML path."""
     from .layers import layer_color
 
     layers = [layer] if isinstance(layer, str) else list(layer)
@@ -120,6 +126,7 @@ def export_globe(result, out_dir: str, layer="terrain") -> str:
         result.graph.triangles, result.graph.n_cells)
     src = src[has_twin]
 
+    n = result.graph.n_cells
     with open(os.path.join(out_dir, "globe.bin"), "wb") as f:
         f.write(pos.astype("<f4").tobytes())
         layer_meta = []
@@ -137,14 +144,52 @@ def export_globe(result, out_dir: str, layer="terrain") -> str:
                                    nbytes=int(col.nbytes)))
             off += int(col.nbytes)
 
+        # per-cell info block: picking + hover card + map rebuild data
+        cells = dict(count=int(n))
+
+        def put(name, arr, dtype):
+            nonlocal off
+            raw = np.ascontiguousarray(arr.astype(dtype)).tobytes()
+            f.write(raw)
+            cells[name] = dict(offset=off, nbytes=len(raw))
+            off += len(raw)
+
+        put("pos", np.asarray(result.graph.pos[:n]), "<f4")
+        put("tri_cell", src, "<i4")           # halfedge → region cell id
+        put("elev", np.asarray(result.elevation)[:n], "<f4")
+        climate = getattr(result, "climate", None)
+        if climate:
+            temp = climate.get("temp", {})
+            precip = climate.get("precip", {})
+            for key, blk, nm in (
+                    ("r_temperature_summer", temp, "temp_summer"),
+                    ("r_temperature_winter", temp, "temp_winter"),
+                    ("r_precip_summer", precip, "precip_summer"),
+                    ("r_precip_winter", precip, "precip_winter")):
+                if key in blk:
+                    put(nm, np.asarray(blk[key])[:n], "<f4")
+            if "koppen" in climate:
+                put("koppen", np.asarray(climate["koppen"])[:n], "u1")
+
     manifest = dict(
         vertices=int(len(pos)), layer=layers[0], layers=layer_meta,
         positions_bytes=int(pos.nbytes),
         colors_bytes=layer_meta[0]["nbytes"],
-        num_cells=geo["num_cells"])
+        num_cells=geo["num_cells"], cells=cells,
+        koppen_legend=_koppen_legend(),
+        total_bytes=off)
     with open(os.path.join(out_dir, "globe.json"), "w") as f:
         json.dump(manifest, f)
 
     html = os.path.join(out_dir, "globe.html")
     shutil.copyfile(_VIEWER, html)
     return html
+
+
+def _koppen_legend():
+    """Köppen class codes + display colors for the viewer legend
+    (reference js/main.js:282-415 legend panel; colors js/koppen.js:19-51)."""
+    from ..climate.koppen import KOPPEN_CODES, KOPPEN_COLORS
+
+    return [dict(code=c, color=list(col))
+            for c, col in zip(KOPPEN_CODES, KOPPEN_COLORS)]

@@ -59,9 +59,9 @@ def precipitation_color(p):
     # two-segment blend: brown→green over [0,0.5), green→blue over [0.5,1]
     t1 = jnp.clip(t / 0.5, 0.0, 1.0)
     t2 = jnp.clip((t - 0.5) / 0.5, 0.0, 1.0)
-    brown = jnp.asarray([0.55, 0.40, 0.20])
-    green = jnp.asarray([0.15, 0.55, 0.20])
-    blue = jnp.asarray([0.10, 0.30, 0.75])
+    brown = np.asarray([0.55, 0.40, 0.20])
+    green = np.asarray([0.15, 0.55, 0.20])
+    blue = np.asarray([0.10, 0.30, 0.75])
     c = brown + (green - brown) * t1[..., None]
     c = jnp.where(t[..., None] > 0.5, green + (blue - green) * t2[..., None], c)
     return c.astype(jnp.float32)
@@ -86,8 +86,8 @@ def continentality_color(c):
     """Ocean-blue → coastal green → deep-interior ochre
     (js/planet-mesh.js:133-158 equivalent)."""
     t = jnp.clip(c, 0.0, 1.0)
-    coast = jnp.asarray([0.25, 0.60, 0.40])
-    interior = jnp.asarray([0.75, 0.55, 0.20])
+    coast = np.asarray([0.25, 0.60, 0.40])
+    interior = np.asarray([0.75, 0.55, 0.20])
     return (coast + (interior - coast) * t[..., None]).astype(jnp.float32)
 
 
@@ -98,9 +98,9 @@ def temperature_color(t01):
     t = jnp.clip(t01, 0.0, 1.0)
     # quantize to 12 bands like the reference's discrete legend
     tq = jnp.floor(t * 12) / 12
-    cold = jnp.asarray([0.15, 0.25, 0.75])
-    mid = jnp.asarray([0.93, 0.93, 0.90])
-    hot = jnp.asarray([0.80, 0.15, 0.10])
+    cold = np.asarray([0.15, 0.25, 0.75])
+    mid = np.asarray([0.93, 0.93, 0.90])
+    hot = np.asarray([0.80, 0.15, 0.10])
     lo = cold + (mid - cold) * jnp.clip(tq / 0.5, 0, 1)[..., None]
     hi = mid + (hot - mid) * jnp.clip((tq - 0.5) / 0.5, 0, 1)[..., None]
     return jnp.where(tq[..., None] < 0.5, lo, hi).astype(jnp.float32)
@@ -111,9 +111,9 @@ def pressure_color(p_anom_hpa):
     """Diverging pressure-anomaly map (low = purple, high = orange); the
     wind stage stores pressure − 1013 hPa."""
     t = jnp.clip(p_anom_hpa / 25.0, -1.0, 1.0)
-    low = jnp.asarray([0.45, 0.20, 0.65])
-    mid = jnp.asarray([0.93, 0.93, 0.93])
-    high = jnp.asarray([0.90, 0.55, 0.15])
+    low = np.asarray([0.45, 0.20, 0.65])
+    mid = np.asarray([0.93, 0.93, 0.93])
+    high = np.asarray([0.90, 0.55, 0.15])
     c_lo = mid + (low - mid) * jnp.maximum(-t, 0.0)[..., None]
     c_hi = mid + (high - mid) * jnp.maximum(t, 0.0)[..., None]
     return jnp.where(t[..., None] < 0, c_lo, c_hi).astype(jnp.float32)
@@ -125,9 +125,9 @@ def current_color(warmth, speed):
     speed (js/planet-mesh.js:505-529 equivalent)."""
     s = jnp.clip(speed, 0.0, 1.0)
     w = jnp.clip(warmth, -1.0, 1.0)
-    base = jnp.asarray([0.15, 0.20, 0.35])
-    warm = jnp.asarray([0.85, 0.25, 0.15])
-    cold = jnp.asarray([0.20, 0.55, 0.95])
+    base = np.asarray([0.15, 0.20, 0.35])
+    warm = np.asarray([0.85, 0.25, 0.15])
+    cold = np.asarray([0.20, 0.55, 0.95])
     tint = jnp.where(w[..., None] >= 0, warm, cold)
     amt = (jnp.abs(w) * s)[..., None]
     return (base + (tint - base) * amt).astype(jnp.float32)
@@ -220,8 +220,8 @@ def layer_color(result, name: str) -> jax.Array:
             raise ValueError(f"layer {name!r} requires climate")
         kop = cl["koppen"]
         if name == "koppen":
-            return jnp.asarray(np.asarray(KOPPEN_COLORS, np.float32))[
-                jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1)]
+            return jnp.take(np.asarray(KOPPEN_COLORS, np.float32), axis=0, indices=
+                jnp.clip(kop, 0, len(KOPPEN_COLORS) - 1))
         return biome_color(kop, e)
     if name == "currents":
         if cl is None:

@@ -10,6 +10,7 @@ reference table (js/koppen.js:19-51) exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -85,20 +86,20 @@ def classify_koppen(elev, t_summer, t_winter, p_summer, p_winter):
     # band C: C + pattern + letter; missing combos (Cs with letter d, Cw with
     # d, C?d) fall back to Cfb (js/koppen.js:257-263)
     c_f = jnp.choose(jnp.clip(letter, 0, 2),
-                     jnp.array([_ID["Cfa"], _ID["Cfb"], _ID["Cfc"]]), mode="clip")
+                     np.array([_ID["Cfa"], _ID["Cfb"], _ID["Cfc"]]), mode="clip")
     c_s = jnp.choose(jnp.clip(letter, 0, 2),
-                     jnp.array([_ID["Csa"], _ID["Csb"], _ID["Csc"]]), mode="clip")
+                     np.array([_ID["Csa"], _ID["Csb"], _ID["Csc"]]), mode="clip")
     c_w = jnp.choose(jnp.clip(letter, 0, 2),
-                     jnp.array([_ID["Cwa"], _ID["Cwb"], _ID["Cwc"]]), mode="clip")
+                     np.array([_ID["Cwa"], _ID["Cwb"], _ID["Cwc"]]), mode="clip")
     c_id = jnp.where(pattern == 1, c_s, jnp.where(pattern == 2, c_w, c_f))
     c_id = jnp.where(letter == 3, _ID["Cfb"], c_id)  # no C?d classes
 
     # band D: full 12-class grid exists
-    d_f = jnp.choose(letter, jnp.array(
+    d_f = jnp.choose(letter, np.array(
         [_ID["Dfa"], _ID["Dfb"], _ID["Dfc"], _ID["Dfd"]]), mode="clip")
-    d_s = jnp.choose(letter, jnp.array(
+    d_s = jnp.choose(letter, np.array(
         [_ID["Dsa"], _ID["Dsb"], _ID["Dsc"], _ID["Dsd"]]), mode="clip")
-    d_w = jnp.choose(letter, jnp.array(
+    d_w = jnp.choose(letter, np.array(
         [_ID["Dwa"], _ID["Dwb"], _ID["Dwc"], _ID["Dwd"]]), mode="clip")
     d_id = jnp.where(pattern == 1, d_s, jnp.where(pattern == 2, d_w, d_f))
 

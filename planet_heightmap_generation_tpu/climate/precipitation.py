@@ -19,6 +19,7 @@ import math
 from functools import partial
 from typing import Dict
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -281,10 +282,10 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
     f0 = jnp.concatenate([seed2, seed2], axis=1)            # [N,4]
     w4b = jnp.concatenate([up_wb, dn_wb], axis=2)            # [N,D,4]
     w4r = jnp.concatenate([up_wr, dn_wr], axis=1)            # [M,4]
-    sign4 = jnp.asarray([-1.0, -1.0, 1.0, 1.0])
-    decay4 = jnp.asarray([s_dec, s_dec, w_dec, w_dec])
-    cap4 = jnp.asarray([shadow_hops, shadow_hops,
-                        windward_hops, windward_hops], jnp.int32)
+    sign4 = np.asarray([-1.0, -1.0, 1.0, 1.0], np.float32)
+    decay4 = np.asarray([s_dec, s_dec, w_dec, w_dec], np.float32)
+    cap4 = np.asarray([shadow_hops, shadow_hops,
+                       windward_hops, windward_hops], np.int32)
 
     def body(i, s):
         wsum = jnp.zeros_like(s)

@@ -600,7 +600,7 @@ def assign_elevation(
     all_cells = jnp.ones(npad, bool)
     zero = jnp.zeros(npad, jnp.float32)
     band_hops = max(rift_half, ridge_half, fracture_half, ba_end, max_arc)
-    use_gate5 = jnp.asarray([True, False, False, True, True])
+    use_gate5 = np.asarray([True, False, False, True, True])
     rgate5 = jnp.where(use_gate5[None, :], rgate_small[:, None], True)
     band_dist, _, band_carry = band_bfs_banded(
         jnp.stack([rift_seeds, ridge_seeds, frac_seeds, ba_seeds,
@@ -609,8 +609,8 @@ def assign_elevation(
                    jnp.where(ba_seeds, stress_n, 0.0),
                    jnp.where(arc_seeds, stress_n, 0.0)], 1)[None],
         *g.bands, max_hops=band_hops,
-        hops_cap=jnp.asarray([rift_half, ridge_half, fracture_half,
-                              ba_end, max_arc], jnp.int32),
+        hops_cap=np.asarray([rift_half, ridge_half, fracture_half,
+                             ba_end, max_arc], np.int32),
         allow=jnp.stack([land_mask, r_is_ocean, r_is_ocean, all_cells,
                          r_is_ocean], 1),
         gate_mix=(gate_small, use_gate5), rem_gate=rgate5,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -225,7 +226,7 @@ def downstream_accumulate(values, pointers, sink_mask, rounds: int = 0):
         i, s, p = state
         added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
         s2 = s + added[:n]
-        p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
+        p2 = jnp.concatenate([p, np.array([sink], p.dtype)])[p]
         return i + 1, s2, p2
 
     _, s, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), values, p))
@@ -259,9 +260,9 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
         # one packed [N+1,3] gather per round (index-bound on TPU)
         i, m, l, p = state
         packed = jnp.stack([
-            jnp.concatenate([m, jnp.array([-jnp.inf], m.dtype)]),
-            jnp.concatenate([l, jnp.array([0.0], l.dtype)]),
-            jnp.concatenate([p, jnp.array([n], p.dtype)]).view(jnp.float32),
+            jnp.concatenate([m, np.array([-np.inf], m.dtype)]),
+            jnp.concatenate([l, np.array([0.0], l.dtype)]),
+            jnp.concatenate([p, np.array([n], p.dtype)]).view(jnp.float32),
         ], axis=1)
         gp = packed[p]
         m2 = jnp.maximum(m, gp[:, 0] + l * EPS)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -50,7 +51,7 @@ def steepest_receivers(elev, is_ocean, valid, band_off, band_mask, band_dist,
     n = band_mask.shape[0]
     land = (~is_ocean) & valid
     idx_f = jnp.arange(n, dtype=jnp.float32)
-    band_idx = idx_f[:, None] + jnp.asarray(band_off, jnp.float32)[None, :]
+    band_idx = idx_f[:, None] + np.asarray(band_off, np.float32)[None, :]
     min_elev, _, (tgt_f, dist_f) = banded_select(
         elev, [], band_off, band_mask, rem_src, rem_dst, minimize=True,
         edge_payloads=[band_idx, band_dist],
@@ -82,7 +83,7 @@ def flow_accumulation(land, rcv, is_pit, rounds: int = 0):
         i, s, p = state
         added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
         s2 = s + added[:n]
-        p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
+        p2 = jnp.concatenate([p, np.array([sink], p.dtype)])[p]
         return i + 1, s2, p2
 
     _, s, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), s, p))
@@ -124,12 +125,12 @@ def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
     def body(state):
         i, A, B, p, _ = state
         packed = jnp.stack([
-            jnp.concatenate([A, jnp.array([0.0], A.dtype)]),
-            jnp.concatenate([B, jnp.array([1.0], B.dtype)]),
+            jnp.concatenate([A, np.array([0.0], A.dtype)]),
+            jnp.concatenate([B, np.array([1.0], B.dtype)]),
             jnp.concatenate(
-                [p, jnp.array([n], p.dtype)]).view(jnp.float32),
+                [p, np.array([n], p.dtype)]).view(jnp.float32),
             jnp.concatenate(
-                [active, jnp.array([False])]).astype(jnp.float32),
+                [active, np.array([False])]).astype(jnp.float32),
         ], axis=1)                                           # [N+1, 4]
         gp = packed[p]                                       # [N, 4]
         Ap, Bp = gp[:, 0], gp[:, 1]
@@ -148,11 +149,11 @@ def stream_power_solve(elev, is_ocean, valid, rcv, dist, is_pit, flow,
         (jnp.int32(0), a.astype(jnp.float32), b.astype(jnp.float32), p,
          jnp.bool_(True)))
 
-    root_term = jnp.concatenate([term, jnp.array([0.0], term.dtype)])[p]
+    root_term = jnp.concatenate([term, np.array([0.0], term.dtype)])[p]
     h_new = jnp.where(active, A + B * root_term, elev)
 
     # clamps (js/terrain-post.js:623-624): not below receiver, not below 0
-    rcv_new = jnp.concatenate([h_new, jnp.array([0.0])])[
+    rcv_new = jnp.concatenate([h_new, np.array([0.0], np.float32)])[
         jnp.where(rcv >= 0, rcv_c, n)]
     rcv_floor = jnp.where(is_ocean[rcv_c] & (rcv >= 0), 0.0,
                           jnp.where(rcv >= 0, jnp.maximum(rcv_new, 0.0), 0.0))

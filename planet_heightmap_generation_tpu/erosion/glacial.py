@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +54,7 @@ def glacial_step(elev, is_ocean, valid, band_off, band_mask, band_dist,
     # ice drainage: steepest strict descent = the min-elevation neighbor
     # (banded argmin; ties resolve by band order instead of slot order)
     idx_f = jnp.arange(n, dtype=jnp.float32)
-    band_idx = idx_f[:, None] + jnp.asarray(band_off, jnp.float32)[None, :]
+    band_idx = idx_f[:, None] + np.asarray(band_off, np.float32)[None, :]
     min_elev, _, (tgt_f,) = banded_select(
         elev, [], band_off, band_mask, rem_src, rem_dst, minimize=True,
         edge_payloads=[jnp.broadcast_to(band_idx, band_mask.shape)],
@@ -70,7 +71,7 @@ def glacial_step(elev, is_ocean, valid, band_off, band_mask, band_dist,
         s, p = carry
         added = jnp.zeros(n + 1, s.dtype).at[p].add(s)
         s2 = s + added[:n]
-        p2 = jnp.concatenate([p, jnp.array([sink], p.dtype)])[p]
+        p2 = jnp.concatenate([p, np.array([sink], p.dtype)])[p]
         return (s2, p2), None
 
     (ice_flow, _), _ = jax.lax.scan(

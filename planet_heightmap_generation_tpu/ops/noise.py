@@ -30,11 +30,14 @@ _GRAD = np.array(
     dtype=np.float32,
 )
 
-_GRAD_J = jnp.asarray(_GRAD)  # seed-independent, safe to embed in jaxprs
+# host-side (numpy) constants: embedding a jax.Array constant in a jaxpr
+# forces a device->host fetch at MLIR lowering time (~76 s per array over
+# the tunneled backend); numpy constants lower as host literals for free
+_GRAD_J = _GRAD
 # integer gradient components for the one-hot select path (values ∈ {-1,0,1})
-_GRAD_XI = jnp.asarray(_GRAD[:, 0].astype(np.int32))
-_GRAD_YI = jnp.asarray(_GRAD[:, 1].astype(np.int32))
-_GRAD_ZI = jnp.asarray(_GRAD[:, 2].astype(np.int32))
+_GRAD_XI = _GRAD[:, 0].astype(np.int32)
+_GRAD_YI = _GRAD[:, 1].astype(np.int32)
+_GRAD_ZI = _GRAD[:, 2].astype(np.int32)
 
 _F3 = 1.0 / 3.0
 _G3 = 1.0 / 6.0

@@ -33,8 +33,14 @@ from ..ops.noise import Tables, fbm
 def no_persistent_cache():
     """Serializing multi-device CPU executables into jax's persistent
     compile cache segfaults (observed with the 8-device virtual mesh);
-    sharded compiles run under this guard. The initialized cache singleton
-    ignores config changes, so it must be reset on the way in AND out."""
+    sharded compiles run under this guard ON THE CPU BACKEND ONLY. TPU
+    sharded executables serialize fine — and a real pod must not pay a
+    full recompile per process — so the guard is a no-op there. The
+    initialized cache singleton ignores config changes, so it must be
+    reset on the way in AND out."""
+    if jax.default_backend() != "cpu":
+        yield
+        return
     from jax._src import compilation_cache as _cc
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)

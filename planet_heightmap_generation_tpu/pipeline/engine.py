@@ -60,6 +60,10 @@ class PlanetResult:
     climate: Optional[Dict]
     debug: Dict
     timing: StageTimer
+    # degraded-path envelope (js/generate.js:246-308 healing analog): set
+    # when a stage failed but earlier stages' results are still usable —
+    # dict(stage=..., message=..., stack=...)
+    error: Optional[Dict] = None
 
     @property
     def land_fraction(self) -> float:
@@ -301,6 +305,7 @@ class PlanetEngine:
         avg_edge = math.pi / math.sqrt(graph.n_cells)
 
         prog(20, "Projecting plates…")
+        stage_error = None
         if not self._timing:
             # production path: the whole device side is ONE jitted program —
             # a single dispatch and a single final sync (pipeline/fused.py)
@@ -316,7 +321,21 @@ class PlanetEngine:
                     out = fused_pipeline(s.spec)(*args)
             else:
                 with timer.stage("Device pipeline (fused)"):
-                    out = fused_pipeline(s.spec)(*args)
+                    # degraded path (js/generate.js:246-308 healing): if the
+                    # full program fails and climate was on, fall back to the
+                    # terrain-only program so the planet still comes back —
+                    # the caller can retry climate via compute_climate()
+                    try:
+                        out = fused_pipeline(s.spec)(*args)
+                    except Exception as e:  # noqa: BLE001 — resilience seam
+                        if s.spec.skip_climate:
+                            raise
+                        import traceback as _tb
+                        stage_error = dict(stage="climate", message=str(e),
+                                           stack=_tb.format_exc())
+                        terrain_spec = dataclasses.replace(
+                            s.spec, skip_climate=True)
+                        out = fused_pipeline(terrain_spec)(*args)
             r_plate = out["r_plate"]
             pre_post = out["pre_post"]
             elevation = out["elevation"]
@@ -367,9 +386,14 @@ class PlanetEngine:
 
             climate = None
             if not skip_climate:
-                climate = self._run_climate(
-                    g, elevation, p_ocean, r_plate, seed, params, timer,
-                    prog, debug)
+                try:
+                    climate = self._run_climate(
+                        g, elevation, p_ocean, r_plate, seed, params, timer,
+                        prog, debug)
+                except Exception as e:  # noqa: BLE001 — resilience seam
+                    import traceback as _tb
+                    stage_error = dict(stage="climate", message=str(e),
+                                       stack=_tb.format_exc())
 
             with timer.stage("Triangle elevations"):
                 t_elev = _triangle_elevations(
@@ -402,7 +426,8 @@ class PlanetEngine:
             mountain_mask=mountain,
             coastline_mask=coastline,
             ocean_seed_mask=ocean_seeds,
-            climate=climate, debug=debug, timing=timer)
+            climate=climate, debug=debug, timing=timer,
+            error=stage_error)
 
     # ── climate helper ───────────────────────────────────────────────
     def _run_climate(self, g, elevation, plate_is_ocean, r_plate, seed,
@@ -462,6 +487,7 @@ class PlanetEngine:
             w["params"] = params
 
         prog(20, "Eroding terrain…")
+        stage_error = None
         if not self._timing:
             # fused reapply tail: erosion + climate in one dispatch
             from .fused import FusedSpec, fused_post_pipeline
@@ -473,12 +499,21 @@ class PlanetEngine:
             if hot is None:
                 hot = jnp.zeros_like(w["pre_post"])
             warp_t = w.get("warp_t") or tables(w["seed"] + 9999)
+            post_args = (w["g"], w["pre_post"], hot,
+                         jnp.asarray(w["plates"].is_ocean), w["r_plate"],
+                         warp_t, tables(w["seed"]),
+                         jnp.asarray(w["graph"].triangles))
             with timer.stage("Reapply pipeline (fused)"):
-                out = fused_post_pipeline(spec)(
-                    w["g"], w["pre_post"], hot,
-                    jnp.asarray(w["plates"].is_ocean), w["r_plate"],
-                    warp_t, tables(w["seed"]),
-                    jnp.asarray(w["graph"].triangles))
+                try:
+                    out = fused_post_pipeline(spec)(*post_args)
+                except Exception as e:  # noqa: BLE001 — resilience seam
+                    if spec.skip_climate:
+                        raise
+                    import traceback as _tb
+                    stage_error = dict(stage="climate", message=str(e),
+                                       stack=_tb.format_exc())
+                    out = fused_post_pipeline(dataclasses.replace(
+                        spec, skip_climate=True))(*post_args)
             elevation = out["elevation"]
             debug = out["debug"]
             climate = out["climate"]
@@ -496,9 +531,14 @@ class PlanetEngine:
             climate = None
             if not skip_climate:
                 p_ocean = jnp.asarray(w["plates"].is_ocean)
-                climate = self._run_climate(
-                    w["g"], elevation, p_ocean, w["r_plate"], w["seed"],
-                    params, timer, prog, debug)
+                try:
+                    climate = self._run_climate(
+                        w["g"], elevation, p_ocean, w["r_plate"], w["seed"],
+                        params, timer, prog, debug)
+                except Exception as e:  # noqa: BLE001 — resilience seam
+                    import traceback as _tb
+                    stage_error = dict(stage="climate", message=str(e),
+                                       stack=_tb.format_exc())
             with timer.stage("Triangle elevations"):
                 t_elev = _triangle_elevations(
                     elevation, jnp.asarray(w["graph"].triangles))
@@ -517,7 +557,8 @@ class PlanetEngine:
             t_elevation=t_elev, stress=w["stress"],
             mountain_mask=w["mountain"], coastline_mask=w["coastline"],
             ocean_seed_mask=w["ocean_seeds"],
-            climate=climate, debug=debug, timing=timer)
+            climate=climate, debug=debug, timing=timer,
+            error=stage_error)
 
     # ── edit recompute (plate ocean/land toggles) ────────────────────
     def edit_recompute(self, toggled_indices,

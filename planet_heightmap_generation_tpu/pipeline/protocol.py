@@ -47,6 +47,11 @@ def _result_payload(result: PlanetResult) -> Dict:
                 cl["temp"][f"r_temperature_{s}"])[:n]
             out[f"precip_{s}"] = np.asarray(
                 cl["precip"][f"r_precip_{s}"])[:n]
+    if result.error is not None:
+        # degraded result: terrain arrays are valid, a later stage failed —
+        # the reference's partial-result healing surface
+        # (js/generate.js:246-308); retry climate via computeClimate
+        out["error"] = dict(result.error)
     return out
 
 

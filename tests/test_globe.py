@@ -53,7 +53,35 @@ def test_export_globe_files(result, tmp_path):
     assert os.path.exists(html)
     manifest = json.load(open(tmp_path / "globe.json"))
     size = os.path.getsize(tmp_path / "globe.bin")
-    assert size == manifest["positions_bytes"] + manifest["colors_bytes"]
+    assert size == manifest["total_bytes"]
+    assert size > manifest["positions_bytes"] + manifest["colors_bytes"]
     assert manifest["vertices"] == 3 * 3 * len(result.graph.triangles)
     text = open(html).read()
     assert "webgl2" in text and "globe.bin" in text
+
+
+def test_export_globe_cells_block(result, tmp_path):
+    """Per-cell picking/hover/map data rides the bin (the viewer's map mode
+    + analytical max-dot picking, reference js/planet-mesh.js:200-382,
+    js/edit-mode.js:18-98)."""
+    export_globe(result, str(tmp_path), layer="terrain")
+    manifest = json.load(open(tmp_path / "globe.json"))
+    cells = manifest["cells"]
+    n = result.graph.n_cells
+    assert cells["count"] == n
+    raw = open(tmp_path / "globe.bin", "rb").read()
+    pos = np.frombuffer(raw, "<f4", count=n * 3,
+                        offset=cells["pos"]["offset"]).reshape(n, 3)
+    assert np.allclose(np.linalg.norm(pos, axis=1), 1.0, atol=1e-3)
+    tri_cell = np.frombuffer(raw, "<i4", count=manifest["vertices"] // 3,
+                             offset=cells["tri_cell"]["offset"])
+    assert tri_cell.min() >= 0 and tri_cell.max() < n
+    elev = np.frombuffer(raw, "<f4", count=n, offset=cells["elev"]["offset"])
+    ref = np.asarray(result.elevation)[:n]
+    assert np.array_equal(elev, ref.astype(np.float32))
+    # viewer has the map/picking machinery
+    text = open(tmp_path / "globe.html").read()
+    for needle in ("buildMapPositions", "nearestCell", "koppen_legend",
+                   "antimeridian"):
+        assert needle in text, needle
+    assert len(manifest["koppen_legend"]) == 31

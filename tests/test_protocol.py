@@ -63,6 +63,44 @@ def test_reapply_without_state_is_error():
     assert "retained" in resp["message"].lower()
 
 
+def test_degraded_climate_returns_terrain(monkeypatch):
+    """Kill climate mid-run → generate still returns terrain + a structured
+    error envelope; compute_climate afterwards succeeds (the reference's
+    partial-result healing, js/generate.js:246-308)."""
+    from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+    from planet_heightmap_generation_tpu.pipeline import engine as eng_mod
+
+    engine = PlanetEngine(timing=True)  # staged path: per-stage seams
+    boom = RuntimeError("climate OOM (injected)")
+
+    def exploding_climate(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(PlanetEngine, "_run_climate", exploding_climate)
+    params = GenerationParams(seed=9, n_cells=3000, n_plates=10,
+                              num_continents=2, skip_climate=False)
+    result = engine.generate(params)
+    assert result.climate is None
+    assert result.error is not None
+    assert result.error["stage"] == "climate"
+    assert "injected" in result.error["message"]
+    e = np.asarray(result.elevation)
+    assert np.isfinite(e).all() and (e > 0).any()
+
+    # healing: retry climate from retained state once the fault clears
+    monkeypatch.undo()
+    cl = engine.compute_climate()
+    assert "koppen" in cl and cl["koppen"].shape[0] >= 3000
+
+    # the protocol surfaces the envelope on an otherwise-done response
+    monkeypatch.setattr(PlanetEngine, "_run_climate", exploding_climate)
+    w = WorkerProtocol(engine=PlanetEngine(timing=True))
+    resp = w.dispatch(dict(cmd="generate",
+                           params=dict(PARAMS, skip_climate=False)))
+    assert resp["type"] == "done"
+    assert resp["error"]["stage"] == "climate"
+
+
 def test_perf_log_written(tmp_path, monkeypatch):
     import json
     path = tmp_path / "perf.jsonl"
