@@ -55,27 +55,42 @@ def _wind_convergence2(pos, wind3d2, band_off, band_mask, rem_src, rem_dst):
     return (conv / cnt).astype(jnp.float32)
 
 
-def _upwind_band_weights(pos, wind3d2, band_off, band_mask, rem_src, rem_dst,
-                         cell_gate=None):
-    """Per-edge upwind weights: wind AT the neighbor j pointing toward i,
-    w[i,·,s] = max(0, wind[j,s]·(p_i - p_j)), as banded [N,D,2] + remainder
-    [M,2] arrays (loop-invariant; shared by advection and rain shadow)."""
+# Above this many (padded) cells the loop-invariant [N,D,·] weight stacks
+# stop being materialized (512 MB at 1M cells for the [N,D,4] rain-shadow
+# stack) and are recomputed per band inside the sweep — a few extra
+# roll-shift reads per band against the whole stack living in HBM.
+_LAZY_WEIGHTS_ABOVE = 400_000
+
+
+def _upwind_band_w(pos, wind3d2, off, mask_d, cell_gate=None):
+    """[N,2] upwind weight for ONE band offset: wind AT the neighbor
+    j = i+off pointing toward i, max(0, wind[j,s]·(p_i − p_j))."""
+    w = jnp.einsum("nsc,nc->ns", band_shift(wind3d2, off),
+                   pos - band_shift(pos, off))
+    m = mask_d if cell_gate is None else (mask_d & cell_gate)
+    return jnp.where(m[:, None] & (w > 0), w, 0.0)
+
+
+def _upwind_rem_w(pos, wind3d2, rem_src, rem_dst, cell_gate=None):
+    """Remainder-edge upwind weights [M,2] (the ~0.5% of edges outside the
+    Fibonacci bands)."""
     npad = pos.shape[0]
-    cols = []
-    for d, off in enumerate(band_off):
-        w = jnp.einsum("nsc,nc->ns", band_shift(wind3d2, off),
-                       pos - band_shift(pos, off))
-        m = band_mask[:, d]
-        if cell_gate is not None:
-            m = m & cell_gate
-        cols.append(jnp.where(m[:, None] & (w > 0), w, 0.0))
-    wb = jnp.stack(cols, axis=1)                             # [N,D,2]
     src = jnp.clip(rem_src, 0, npad - 1)
     wr = jnp.einsum("msc,mc->ms", wind3d2[rem_dst], pos[src] - pos[rem_dst])
     ok = (rem_src < npad)
     if cell_gate is not None:
         ok = ok & cell_gate[src]
-    wr = jnp.where(ok[:, None] & (wr > 0), wr, 0.0)
+    return jnp.where(ok[:, None] & (wr > 0), wr, 0.0)
+
+
+def _upwind_band_weights(pos, wind3d2, band_off, band_mask, rem_src, rem_dst,
+                         cell_gate=None):
+    """Materialized upwind weights: banded [N,D,2] + remainder [M,2]
+    (loop-invariant; shared by advection and rain shadow at small N)."""
+    wb = jnp.stack([_upwind_band_w(pos, wind3d2, off, band_mask[:, d],
+                                   cell_gate)
+                    for d, off in enumerate(band_off)], axis=1)
+    wr = _upwind_rem_w(pos, wind3d2, rem_src, rem_dst, cell_gate)
     return wb, wr
 
 
@@ -115,16 +130,31 @@ def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
         jnp.where(coast_seed[:, None], onshore2 * warmth_factor2,
                   0.0)).astype(jnp.float32)
 
-    # loop-invariant upwind weights: wind at nb pointing toward r
-    up_wb, up_wr = _upwind_band_weights(pos, wind3d2, band_off, band_mask,
+    # upwind weights: wind at nb pointing toward r. Materialized as a
+    # loop-invariant [N,D,2] stack at small N, recomputed per band inside
+    # the sweep at large N (HBM: the stack is 256 MB at 1M cells).
+    up_wr = _upwind_rem_w(pos, wind3d2, rem_src, rem_dst)
+    if n > _LAZY_WEIGHTS_ABOVE:
+        def wsum(field2):
+            out = jnp.zeros_like(field2)
+            for d, off in enumerate(band_off):
+                w = _upwind_band_w(pos, wind3d2, off, band_mask[:, d])
+                out = out + w * band_shift(field2, off)
+            return out.at[rem_src].add(up_wr * field2[rem_dst], mode="drop")
+    else:
+        up_wb = jnp.stack(
+            [_upwind_band_w(pos, wind3d2, off, band_mask[:, d])
+             for d, off in enumerate(band_off)], axis=1)
+
+        def wsum(field2):
+            return _banded_weighted_sum(field2, up_wb, up_wr, band_off,
                                         rem_src, rem_dst)
-    up_sum2 = (jnp.sum(up_wb, axis=1)
-               .at[rem_src].add(up_wr, mode="drop"))        # [N,2]
+
+    up_sum2 = wsum(jnp.ones((n, 2), jnp.float32))            # [N,2]
     has_up2 = up_sum2 > 0
 
-    up_height2 = (_banded_weighted_sum(
-        jnp.broadcast_to(height_km[:, None], (n, 2)), up_wb, up_wr,
-        band_off, rem_src, rem_dst) / jnp.maximum(up_sum2, 1e-20))
+    up_height2 = (wsum(jnp.broadcast_to(height_km[:, None], (n, 2)))
+                  / jnp.maximum(up_sum2, 1e-20))
     height_gain2 = jnp.maximum(0.0, height_km[:, None] - up_height2)
     depletion_base = 1 - 0.78 ** (1.0 / max_hops)
     elev_depletion2 = jnp.minimum(0.8, height_gain2 * max_hops * 0.55)
@@ -134,9 +164,7 @@ def _advect_moisture2(pos, height_km, is_land, wind3d2, warmth2,
     active2 = is_land[:, None] & wind_ok2 & has_up2
 
     def body(_, m):
-        incoming = (_banded_weighted_sum(m, up_wb, up_wr, band_off,
-                                         rem_src, rem_dst)
-                    / jnp.maximum(up_sum2, 1e-20))
+        incoming = wsum(m) / jnp.maximum(up_sum2, 1e-20)
         carried = incoming * retain2
         return jnp.where(active2, jnp.maximum(m, carried), m)
 
@@ -262,15 +290,17 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
                   0.0)).astype(jnp.float32)
 
     # up: wind AT the neighbor toward the receiver; dn: wind AT the receiver
-    # toward the neighbor — both gated on receiver land
-    up_wb, up_wr = _upwind_band_weights(pos, wind3d2, band_off, band_mask,
-                                        rem_src, rem_dst, cell_gate=is_land)
-    dn_cols = []
-    for d, off in enumerate(band_off):
-        w = jnp.einsum("nsc,nc->ns", wind3d2, band_shift(pos, off) - pos)
+    # toward the neighbor — both gated on receiver land.
+    def band_w4(d, off):
+        """[N,4] weights {up×2, dn×2} for one band offset."""
+        delta = band_shift(pos, off) - pos
+        up = jnp.einsum("nsc,nc->ns", band_shift(wind3d2, off), -delta)
+        dn = jnp.einsum("nsc,nc->ns", wind3d2, delta)
         m = band_mask[:, d] & is_land
-        dn_cols.append(jnp.where(m[:, None] & (w > 0), w, 0.0))
-    dn_wb = jnp.stack(dn_cols, axis=1)                       # [N,D,2]
+        w4 = jnp.concatenate([up, dn], axis=1)
+        return jnp.where(m[:, None] & (w4 > 0), w4, 0.0)
+
+    up_wr = _upwind_rem_w(pos, wind3d2, rem_src, rem_dst, cell_gate=is_land)
     src = jnp.clip(rem_src, 0, npad - 1)
     dn_r = jnp.einsum("msc,mc->ms", wind3d2[src], pos[rem_dst] - pos[src])
     dn_wr = jnp.where(((rem_src < npad) & is_land[src])[:, None]
@@ -280,7 +310,14 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
     w_dec = 1 - 0.25 ** (1.0 / windward_hops)
 
     f0 = jnp.concatenate([seed2, seed2], axis=1)            # [N,4]
-    w4b = jnp.concatenate([up_wb, dn_wb], axis=2)            # [N,D,4]
+    if npad > _LAZY_WEIGHTS_ABOVE:
+        get_w4 = band_w4                  # recompute per band in the sweep
+    else:
+        w4b = jnp.stack([band_w4(d, off)
+                         for d, off in enumerate(band_off)], axis=1)
+
+        def get_w4(d, off):
+            return w4b[:, d]
     w4r = jnp.concatenate([up_wr, dn_wr], axis=1)            # [M,4]
     sign4 = np.asarray([-1.0, -1.0, 1.0, 1.0], np.float32)
     decay4 = np.asarray([s_dec, s_dec, w_dec, w_dec], np.float32)
@@ -292,7 +329,7 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
         wacc = jnp.zeros_like(s)
         for d, off in enumerate(band_off):
             vals = band_shift(s, off)                       # [N,4]
-            w = jnp.where(vals * sign4[None, :] > 0, w4b[:, d], 0.0)
+            w = jnp.where(vals * sign4[None, :] > 0, get_w4(d, off), 0.0)
             wsum = wsum + w
             wacc = wacc + w * vals
         vals_r = s[rem_dst]
