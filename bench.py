@@ -86,8 +86,17 @@ def _run_once(engine, params):
     jax.block_until_ready(r.elevation)
     if r.climate is not None:
         jax.block_until_ready(r.climate["koppen"])
+    t1 = time.perf_counter()
     d = r.diagnostics()  # device->host sync (host read of final arrays)
     assert d["nan_count"] == 0, f"NaNs in elevation: {d}"
+    t2 = time.perf_counter()
+    # phase breakdown on stderr (never pollutes the JSON stdout contract):
+    # where cold time goes — host prologue stages vs the device program
+    # (trace+lower+compile-or-deserialize+execute) vs the result fetch
+    stages = "; ".join(f"{name}={ms / 1000:.1f}s"
+                       for name, ms in r.timing.stages)
+    print(f"[bench trace] n={params.n_cells} total={t2 - t0:.1f}s "
+          f"fetch={t2 - t1:.1f}s | {stages}", file=sys.stderr, flush=True)
     return time.perf_counter() - t0, r
 
 

@@ -69,22 +69,41 @@ def build_geobins(points: np.ndarray, n_lat: int = 90, n_lon: int = 180,
     # chord radius for covering ball
     radius = 2 * np.sin(np.minimum(np.pi / 2, half_diag_ang / 2)) + 2 * h_max + extra_margin
 
-    lists = tree.query_ball_point(c_xyz, radius)
-    # round the candidate width up to a lane-friendly multiple so the device
-    # query kernel keeps one jit shape across meshes/seeds (raw k_c is
-    # data-dependent and would recompile the projection per planet)
-    k_c = max(1, max(len(l) for l in lists))
-    k_c = -(-k_c // 16) * 16
+    # One batched k-NN query instead of 16 200 python ball queries (the
+    # list handling dominated host_setup). tree.query returns neighbors
+    # sorted by distance, so "within covering radius" is a row PREFIX —
+    # no compaction needed. The few bins whose 64 nearest all fall inside
+    # the radius get an exact ball query.
     n_bins = n_lat * n_lon
+    k_query = min(m, 64)
+    d, idx = tree.query(c_xyz, k=k_query)
+    d = np.atleast_2d(d)
+    idx = np.atleast_2d(idx)
+    within = d <= radius[:, None]
+    counts = within.sum(axis=1)
+    sat = within[:, -1] if k_query < m else np.zeros(n_bins, bool)
+    sat_lists = {}
+    if sat.any():
+        for b, l in zip(np.flatnonzero(sat),
+                        tree.query_ball_point(c_xyz[sat], radius[sat])):
+            sat_lists[int(b)] = l
+            counts[b] = max(len(l), 1)
+    # isolated bins (shouldn't happen): keep the single global nearest
+    counts = np.maximum(counts, 1)
+    within[:, 0] = True
+    # lane-friendly candidate width so the device query kernel keeps one
+    # jit shape across meshes/seeds (raw k_c is data-dependent and would
+    # recompile the projection per planet)
+    k_c = -(-int(counts.max()) // 16) * 16
     cand_idx = np.zeros((n_bins, k_c), dtype=np.int32)
     cand_mask = np.zeros((n_bins, k_c), dtype=bool)
-    for b, l in enumerate(lists):
-        if not l:
-            # isolated bin (shouldn't happen) — fall back to global nearest
-            _, j = tree.query(c_xyz[b])
-            l = [int(j)]
+    take = min(k_c, k_query)
+    cand_idx[:, :take] = idx[:, :take]
+    cand_mask[:, :take] = within[:, :take]
+    cand_mask &= (np.arange(k_c)[None, :] < counts[:, None])
+    for b, l in sat_lists.items():
         cand_idx[b, : len(l)] = l
-        cand_mask[b, : len(l)] = True
+        cand_mask[b] = np.arange(k_c) < len(l)
 
     return GeoBins(
         n_lat=n_lat, n_lon=n_lon,

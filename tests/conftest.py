@@ -50,6 +50,28 @@ def cpu_devices():
     return jax.devices("cpu")
 
 
+# One canonical planet spec shared by every product-surface test file
+# (pipeline, layers, overlays, globe, picking). A single staged generate
+# compiles the whole kernel set once per session; aligning every engine
+# test to THIS shape family (4000 cells / 12 plates) means later generates
+# reuse the in-process jit cache instead of recompiling per file.
+CANON_PARAMS_KW = dict(seed=77, n_cells=4000, n_plates=12, num_continents=2,
+                       skip_climate=False)
+
+
+@pytest.fixture(scope="session")
+def canon_engine_result():
+    """(engine, result) of the canonical 4K generate WITH climate. Files
+    that only read the result must not mutate the engine state (reapply /
+    edit_recompute belong to test_pipeline, which owns the command order)."""
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+
+    engine = PlanetEngine()
+    result = engine.generate(GenerationParams(**CANON_PARAMS_KW))
+    return engine, result
+
+
 @pytest.fixture(scope="session")
 def tiny_sphere():
     """A small shared mesh fixture (N=2000) for graph-algorithm tests."""

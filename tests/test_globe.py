@@ -15,10 +15,9 @@ from planet_heightmap_generation_tpu.api.globe import (build_globe_geometry,
 
 
 @pytest.fixture(scope="module")
-def result():
-    params = GenerationParams(seed=5, n_cells=3000, n_plates=10,
-                              num_continents=2, skip_climate=True)
-    return PlanetEngine().generate(params)
+def result(canon_engine_result):
+    # the session-wide canonical climate planet (conftest) — read-only here
+    return canon_engine_result[1]
 
 
 def test_globe_geometry_shape_and_bounds(result):

@@ -10,10 +10,9 @@ from planet_heightmap_generation_tpu.api import overlays as ov
 
 
 @pytest.fixture(scope="module")
-def result():
-    return PlanetEngine().generate(
-        GenerationParams(seed=11, n_cells=4000, n_plates=12,
-                         num_continents=2, skip_climate=False))
+def result(canon_engine_result):
+    # the session-wide canonical climate planet (conftest) — read-only here
+    return canon_engine_result[1]
 
 
 def _unit(v):

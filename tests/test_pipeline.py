@@ -10,21 +10,16 @@ from planet_heightmap_generation_tpu.config import GenerationParams
 from planet_heightmap_generation_tpu.pipeline import PlanetEngine
 
 
-PARAMS = GenerationParams(
-    seed=77, n_cells=4000, n_plates=12, num_continents=2,
-    skip_climate=False)
+from conftest import CANON_PARAMS_KW
+
+PARAMS = GenerationParams(**CANON_PARAMS_KW)
 
 
 @pytest.fixture(scope="module")
-def engine_and_result():
-    import planet_heightmap_generation_tpu.config as cfg
-    # shrink the coarse grid for test speed
-    orig = cfg.N_COARSE
-    import planet_heightmap_generation_tpu.tectonics.coarse as coarse_mod
-    engine = PlanetEngine()
-    # generate with a smaller coarse mesh by calling the lower-level path
-    result = engine.generate(PARAMS)
-    return engine, result
+def engine_and_result(canon_engine_result):
+    # the session-wide canonical generate (conftest) — this file owns the
+    # engine's command-order state (reapply / edit / compute_climate)
+    return canon_engine_result
 
 
 def test_generate_complete(engine_and_result):
@@ -95,7 +90,7 @@ def test_import_heightmap():
     engine = PlanetEngine()
     r = engine.import_heightmap(
         img.ravel(), w, h,
-        GenerationParams(seed=5, n_cells=3000, skip_climate=True))
+        GenerationParams(seed=5, n_cells=4000, skip_climate=True))
     e = np.asarray(r.elevation)[: r.graph.n_cells]
     lat = np.degrees(np.arcsin(np.clip(r.graph.pos[: r.graph.n_cells, 1], -1, 1)))
     # equatorial band mostly land, poles ocean

@@ -7,7 +7,9 @@ from planet_heightmap_generation_tpu.config import GenerationParams
 from planet_heightmap_generation_tpu.pipeline.protocol import (WorkerProtocol,
                                                                COMMANDS)
 
-PARAMS = dict(seed=9, n_cells=3000, n_plates=10, num_continents=2,
+# shape-aligned with the canonical test spec (conftest) so staged
+# kernels compiled there are reused from the in-process jit cache
+PARAMS = dict(seed=9, n_cells=4000, n_plates=12, num_continents=2,
               skip_climate=True)
 
 
@@ -23,7 +25,7 @@ def test_generate_done(worker_and_log):
     resp = w.dispatch(dict(cmd="generate", params=PARAMS))
     assert resp["type"] == "done", resp.get("stack")
     assert resp["diagnostics"]["nan_count"] == 0
-    assert len(resp["elevation"]) == 3001  # N+1 incl. pole
+    assert len(resp["elevation"]) == 4001  # N+1 incl. pole
     assert any(m.get("type") == "progress" for m in log)
 
 
@@ -77,7 +79,7 @@ def test_degraded_climate_returns_terrain(monkeypatch):
         raise boom
 
     monkeypatch.setattr(PlanetEngine, "_run_climate", exploding_climate)
-    params = GenerationParams(seed=9, n_cells=3000, n_plates=10,
+    params = GenerationParams(seed=9, n_cells=4000, n_plates=12,
                               num_continents=2, skip_climate=False)
     result = engine.generate(params)
     assert result.climate is None
@@ -109,6 +111,6 @@ def test_perf_log_written(tmp_path, monkeypatch):
     PlanetEngine().generate(GenerationParams(**PARAMS))
     recs = [json.loads(l) for l in open(path)]
     assert recs and recs[-1]["kind"] == "generate"
-    assert recs[-1]["n_cells"] == 3000
+    assert recs[-1]["n_cells"] == 4000
     assert recs[-1]["total_ms"] > 0
     assert "stages" in recs[-1]

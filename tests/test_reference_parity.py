@@ -32,19 +32,22 @@ CONFIGS = dict(
     c20k_s123=dict(seed=123, n_cells=20000, n_plates=40, num_continents=3),
 )
 
-# Self-snapshot of THIS implementation for c20k_s123 (full climate,
-# default sliders) — regenerate with the script in the commit that
-# changes expected behavior, never to paper over accidental drift.
-SNAPSHOT = dict(
-    land_fraction=0.28279,
-    elevation_hist=[0.0, 0.0, 0.0014, 0.0109, 0.05615, 0.082, 0.19854,
-                    0.12154, 0.16224, 0.08445, 0.0213, 0.02255, 0.08875,
-                    0.07845, 0.0355, 0.01875, 0.00945, 0.00395, 0.00185,
-                    0.00225],
-    koppen_top={0: 0.7172, 6: 0.0604, 3: 0.0502, 1: 0.0347,
-                29: 0.031, 19: 0.0223, 30: 0.018, 4: 0.0158},
-    plate_count=40,
+# Self-snapshots of THIS implementation (full climate, default sliders) —
+# regenerate with tools/make_snapshots.py in the commit that changes
+# expected behavior, never to paper over accidental drift.
+SNAPSHOTS = dict(
+    c20k_s123=dict(
+        land_fraction=0.28279,
+        elevation_hist=[0.0, 0.0, 0.0014, 0.0109, 0.05615, 0.082, 0.19854,
+                        0.12154, 0.16224, 0.08445, 0.0213, 0.02255, 0.08875,
+                        0.07845, 0.0355, 0.01875, 0.00945, 0.00395, 0.00185,
+                        0.00225],
+        koppen_top={0: 0.7172, 6: 0.0604, 3: 0.0502, 1: 0.0347,
+                    29: 0.031, 19: 0.0223, 30: 0.018, 4: 0.0158},
+        plate_count=40,
+    ),
 )
+SNAPSHOT = SNAPSHOTS["c20k_s123"]
 
 
 def _metrics(result):
@@ -64,9 +67,14 @@ def _metrics(result):
 
 
 @pytest.fixture(scope="module")
-def snapshot_metrics():
+def snapshot_result():
     params = GenerationParams(skip_climate=False, **CONFIGS["c20k_s123"])
-    return _metrics(PlanetEngine(timing=False).generate(params))
+    return PlanetEngine(timing=False).generate(params)
+
+
+@pytest.fixture(scope="module")
+def snapshot_metrics(snapshot_result):
+    return _metrics(snapshot_result)
 
 
 def test_self_snapshot_land_fraction(snapshot_metrics):
@@ -88,6 +96,100 @@ def test_self_snapshot_koppen(snapshot_metrics):
 
 def test_self_snapshot_plate_count(snapshot_metrics):
     assert snapshot_metrics["plate_count"] == SNAPSHOT["plate_count"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["c40k_s42", "c40k_s7"])
+def test_self_snapshot_40k(name):
+    """40K-config self-snapshots (VERDICT r1 #5) — all four metric families
+    in one generate per config. Slow tier: two 40K fused CPU runs."""
+    if name not in SNAPSHOTS:
+        pytest.fail(f"no committed snapshot for {name}: run "
+                    "tools/make_snapshots.py and commit the values")
+    params = GenerationParams(skip_climate=False, **CONFIGS[name])
+    m = _metrics(PlanetEngine(timing=False).generate(params))
+    s = SNAPSHOTS[name]
+    assert abs(m["land_fraction"] - s["land_fraction"]) < 0.02
+    l1 = float(np.abs(np.asarray(m["elevation_hist"])
+                      - np.asarray(s["elevation_hist"])).sum())
+    assert l1 < 0.05, f"elevation distribution drifted (L1={l1:.3f})"
+    for cls, frac in s["koppen_top"].items():
+        assert abs(m["koppen_dist"].get(cls, 0.0) - frac) < 0.03
+    assert m["plate_count"] == s["plate_count"]
+
+
+# ── structural invariants (no dumps needed; SURVEY §4c + VERDICT r1 #5) ──
+# Köppen class id bands (climate/koppen.py KOPPEN_CODES):
+#   A(tropical)=1-3, B(arid)=4-7, C=8-16, D=17-28, E(polar)=29-30
+
+def _lat_kop(result):
+    n = result.graph.n_cells
+    lat = np.degrees(np.arcsin(np.clip(result.graph.pos[:n, 1], -1, 1)))
+    kop = np.asarray(result.climate["koppen"])[:n]
+    return lat, kop
+
+
+def test_invariant_hypsometry(snapshot_result):
+    """Earthlike hypsometry: land elevations right-skewed (high peaks are
+    rare), ocean floor well below the coastline band."""
+    n = snapshot_result.graph.n_cells
+    e = np.asarray(snapshot_result.elevation)[:n]
+    land = e[e > 0]
+    ocean = e[e <= 0]
+    assert land.mean() > np.median(land)          # right skew
+    # peaks are rare: the top percentile stands well above the median land
+    # height (measured ≈3.3× at c20k_s123; 2× is the invariant floor)
+    assert np.percentile(land, 99) > 2 * np.median(land)
+    assert np.median(ocean) < -0.1                # abyssal plain depth
+    # the coastline band (|e|<0.02) holds only a few percent of cells
+    assert (np.abs(e) < 0.02).mean() < 0.12
+
+
+def test_invariant_koppen_latitude_bands(snapshot_result):
+    """Climate classes sit in their latitude belts: tropical (A) near the
+    equator, polar (E) near the poles, hot deserts (BWh) subtropical."""
+    lat, kop = _lat_kop(snapshot_result)
+    al = np.abs(lat)
+    a_cls = (kop >= 1) & (kop <= 3)
+    e_cls = (kop >= 29)
+    bwh = kop == 4
+    assert a_cls.sum() > 0 and e_cls.sum() > 0
+    assert (al[a_cls] < 40).mean() > 0.8          # tropics near equator
+    assert al[e_cls].mean() > 50                  # polar classes poleward
+    if bwh.sum() > 20:
+        assert 5 < al[bwh].mean() < 50            # hot-desert belt
+
+
+def test_invariant_temperature_gradient(snapshot_result):
+    """Annual-mean temperature decreases from equator to poles."""
+    n = snapshot_result.graph.n_cells
+    lat, _ = _lat_kop(snapshot_result)
+    t = snapshot_result.climate["temp"]
+    tm = (np.asarray(t["r_temperature_summer"])[:n]
+          + np.asarray(t["r_temperature_winter"])[:n]) / 2
+    eq = tm[np.abs(lat) < 15].mean()
+    mid = tm[(np.abs(lat) > 35) & (np.abs(lat) < 55)].mean()
+    pol = tm[np.abs(lat) > 70].mean()
+    assert eq > mid > pol
+
+
+def test_invariant_coastline_fractal_slope(snapshot_result,
+                                           canon_engine_result):
+    """Coast-cell count scales super-linearly in sqrt(N): for a fractal
+    coastline of dimension d, #coast ~ N^(d/2) with d ∈ (1, 2) — the
+    resolution-independence discipline (SURVEY §5 'long-context' analog)."""
+    def count(result):
+        g = result.graph
+        n = g.n_cells
+        land = np.zeros(g.n_padded, bool)
+        land[:n] = np.asarray(result.elevation)[:n] > 0
+        has_ocean_nbr = ((~land[g.nbr_idx]) & g.nbr_mask).any(axis=1)
+        return int((land & has_ocean_nbr).sum()), n
+
+    c1, n1 = count(canon_engine_result[1])        # 4K cells
+    c2, n2 = count(snapshot_result)               # 20K cells
+    slope = np.log(c2 / c1) / np.log(n2 / n1)     # = d/2
+    assert 0.5 < slope < 1.05, slope
 
 
 def _dump_configs():

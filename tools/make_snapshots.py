@@ -1,0 +1,44 @@
+"""Regenerate the self-snapshot values in tests/test_reference_parity.py.
+
+Run on the CPU backend (deterministic across hosts):
+
+    JAX_PLATFORMS=cpu python tools/make_snapshots.py [config ...]
+
+Prints a SNAPSHOTS entry per config; paste into the test file in the same
+commit that intentionally changes distributional behavior. Defaults to all
+configs in tests/test_reference_parity.py CONFIGS.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from planet_heightmap_generation_tpu.config import GenerationParams
+    from planet_heightmap_generation_tpu.pipeline import PlanetEngine
+    from test_reference_parity import CONFIGS, _metrics
+
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        params = GenerationParams(skip_climate=False, **CONFIGS[name])
+        m = _metrics(PlanetEngine(timing=False).generate(params))
+        top = dict(sorted(m["koppen_dist"].items(), key=lambda kv: -kv[1])[:8])
+        print(f"    {name}=dict(")
+        print(f"        land_fraction={round(m['land_fraction'], 5)},")
+        hist = [round(v, 5) for v in m["elevation_hist"]]
+        print(f"        elevation_hist={hist},")
+        kt = {k: round(v, 4) for k, v in top.items()}
+        print(f"        koppen_top={kt},")
+        print(f"        plate_count={m['plate_count']},")
+        print("    ),", flush=True)
+
+
+if __name__ == "__main__":
+    main()
