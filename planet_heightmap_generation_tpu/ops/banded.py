@@ -118,12 +118,19 @@ def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
                           rem_src, rem_dst, max_hops: int = 0,
                           rand_cost=None):
     """Banded drop-in for ops.graph.bfs_hops_multi — F independent
-    hop-distance BFS fields relaxed together ([N,F] min-plus loop).
+    hop-distance BFS fields relaxed together (flat [F*N] min-plus loop;
+    see the flat-helper block above for why not [N,F]).
     Bit-identical to the gather form (min is order-independent)."""
     n, f = seeds.shape
+    nf = n * f
     inf = jnp.float32(jnp.inf)
-    dist0 = jnp.where(seeds, 0.0, inf).astype(jnp.float32)
-    cost = jnp.ones((n, f), jnp.float32) if rand_cost is None else rand_cost
+    dist0 = jnp.where(_flat(seeds), 0.0, inf).astype(jnp.float32)
+    cost = jnp.ones((nf,), jnp.float32) if rand_cost is None \
+        else _flat(rand_cost)
+    barrier_f = _flat(barrier)
+    seeds_f = _flat(seeds)
+    fmask = _flat_masks(band_mask, band_off, f)
+    src_f, dst_f, _, _ = _flat_rem(rem_src, rem_dst, n, f)
 
     def cond(state):
         i, _, changed = state
@@ -133,16 +140,21 @@ def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
 
     def body(state):
         i, dist, _ = state
-        best = banded_min(dist, band_off, band_mask, rem_src, rem_dst)
+        dbl = jnp.concatenate([dist, dist])
+        best = jnp.full((nf,), inf)
+        for d, off in enumerate(band_off):
+            sh = _dbl_shift(dbl, off, nf)
+            best = jnp.minimum(best, jnp.where(fmask[d], sh, inf))
+        best = best.at[src_f].min(dist[dst_f], mode="drop")
         new = jnp.minimum(dist, best + cost)
-        new = jnp.where(barrier, inf, new)
-        new = jnp.where(seeds, 0.0, new)
+        new = jnp.where(barrier_f, inf, new)
+        new = jnp.where(seeds_f, 0.0, new)
         return i + 1, new, jnp.any(new != dist)
 
     _, dist, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), dist0, jnp.bool_(True))
     )
-    return dist
+    return _unflat(dist, n)
 
 
 @partial(jax.jit, static_argnames=("band_off", "passes"))
@@ -179,6 +191,55 @@ def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
 
 def _rem_real(rem_src, npad):
     return rem_src < npad
+
+
+# ── flat multi-field helpers ─────────────────────────────────────────
+# A [N,F] (or [F,N]) loop carry lets XLA's layout assignment put the
+# F≪128 axis in the lane dimension — padding it to 128 lanes and turning
+# every loop-body op into a 64-128x bandwidth waste (measured: the 2-field
+# stress loop at 31 ms/pass vs ~1 ms; layout {0,1} on f32[2,N] in the
+# compiled while body). 1-D arrays have exactly one layout, so the
+# multi-field while loops below run FLAT: fields concatenated field-major
+# into [F*N], band shifts as static slices of a pre-doubled [2FN] array
+# (one slice serves all fields; block-boundary crossings are exactly the
+# out-of-range cells the band masks already kill), and per-(edge,field)
+# masks pre-tiled to flat [FN] loop-invariants.
+
+def _flat(x):
+    """[N,F] → [F*N] field-major (block f = field f's cells)."""
+    return x.T.reshape(-1)
+
+
+def _unflat(xf, n):
+    """[F*N] → [N,F]."""
+    return xf.reshape(-1, n).T
+
+
+def _dbl_shift(dbl, off, n_flat):
+    """Static-slice shift: dbl = concat([x, x]); returns x[(i+off) mod FN].
+    In-block cells land on their own field's data; cross-block entries are
+    band-masked by construction (i+off outside [0,N))."""
+    s0 = off % n_flat
+    return jax.lax.slice_in_dim(dbl, s0, s0 + n_flat)
+
+
+def _flat_masks(band_mask, band_off, f):
+    """Tuple of D flat [F*N] band masks (loop-invariant)."""
+    return tuple(jnp.concatenate([band_mask[:, d]] * f)
+                 for d in range(len(band_off)))
+
+
+def _flat_rem(rem_src, rem_dst, npad, f):
+    """Flat remainder-edge indices [F*M]: invalid sources map to F*N
+    (dropped by mode='drop'), destinations are clipped per field block."""
+    real = rem_src < npad
+    src_c = jnp.clip(rem_src, 0, npad - 1)
+    dst_c = jnp.clip(rem_dst, 0, npad - 1)
+    src_f = jnp.concatenate([jnp.where(real, rem_src + g * npad, f * npad)
+                             for g in range(f)])
+    dst_f = jnp.concatenate([dst_c + g * npad for g in range(f)])
+    srcc_f = jnp.concatenate([src_c + g * npad for g in range(f)])
+    return src_f, dst_f, srcc_f, jnp.concatenate([real] * f)
 
 
 def banded_select(key_src, payloads, band_off, band_mask, rem_src, rem_dst,
@@ -280,34 +341,79 @@ def propagate_stress_banded(stress, subduct, gate_stack, rem_gate, ocean_cell,
     """Banded drop-in for elevation.collisions.propagate_stress_multi:
     G stress layers relax together; per sweep each cell adopts the
     strongest propagated stress among gated (same-plate) neighbors, the
-    subduct factor riding along. gate_stack: tuple of G [N,D] gates
-    (kept separate so no [N,D,G] tensor lands in HBM); rem_gate: [M,G]."""
-    active0 = stress > 0.01
+    subduct factor riding along. gate_stack: tuple of G [N,D] gates;
+    rem_gate: [M,G].
+
+    The loop state is G separate 1-D [N] arrays per quantity. A [N,G]
+    (or transposed [G,N]) carry lets XLA's layout assignment put G in the
+    lane dimension — pad 2→128, 64x the bandwidth — and in the big fused
+    program it DID (layout {0,1} on f32[2,N], measured 31 ms/pass vs ~1 ms
+    for the same math over clean 1-D arrays; the 2.1 s stress stage of the
+    round-1 7 s planet). 1-D f32[N] has exactly one layout. Band shifts are
+    static slices of a pre-doubled [2N] array (jnp.roll's concat made XLA
+    insert per-band layout-conversion copies); gates ride as f32 compared
+    inline (a stored pred's (8,128)(4,1) tiling forced copies on every
+    jnp.where against f32 operands)."""
+    G = stress.shape[1]
+    npad = stress.shape[0]
+    sts = tuple(stress[:, g].astype(jnp.float32) for g in range(G))
+    sfs = tuple(subduct[:, g].astype(jnp.float32) for g in range(G))
+    ocs = tuple(ocean_cell[:, g] for g in range(G))
+    gates = tuple(gf.astype(jnp.float32) for gf in gate_stack)   # [N,D] f32
+    rem_real = rem_src < npad
+    src_c = jnp.clip(rem_src, 0, npad - 1)
+    rgs = tuple(rem_gate[:, g] & rem_real for g in range(G))
+    acts0 = tuple(st > 0.01 for st in sts)
 
     def cond(state):
         i, _, _, _, changed = state
         return changed & (i < num_passes)
 
     def body(state):
-        i, stress, sf, active, _ = state
-        eff = jnp.where(sf > 0.5, subduct_decay, decay)
-        prop = stress * eff
-        sendable = active & (~ocean_cell) & (prop >= 0.005)
-        key = jnp.where(sendable, prop, -jnp.inf)
-        best, (src_sf,), _ = banded_select(
-            key, [sf], band_off, band_mask, rem_src, rem_dst,
-            gate_stack=gate_stack, rem_gate=rem_gate)
-        upd = best > stress
-        stress2 = jnp.where(upd, best, stress)
-        sf2 = jnp.where(upd, src_sf, sf)
-        return i + 1, stress2, sf2, active | upd, jnp.any(upd)
+        i, sts, sfs, acts, _ = state
+        new_st, new_sf, new_act = [], [], []
+        any_upd = jnp.bool_(False)
+        for g in range(G):
+            st, sf, active = sts[g], sfs[g], acts[g]
+            eff = jnp.where(sf > 0.5, subduct_decay, decay)
+            prop = st * eff
+            sendable = active & (~ocs[g]) & (prop >= 0.005)
+            key = jnp.where(sendable, prop, -jnp.inf)
+            key_dbl = jnp.concatenate([key, key])
+            sf_dbl = jnp.concatenate([sf, sf])
+            best = jnp.full_like(st, -jnp.inf)
+            bsf = jnp.zeros_like(sf)
+            for d, off in enumerate(band_off):
+                s0 = off % npad
+                gm = gates[g][:, d] > 0.5
+                k = jnp.where(gm, jax.lax.slice_in_dim(key_dbl, s0,
+                                                       s0 + npad), -jnp.inf)
+                u = k > best
+                best = jnp.where(u, k, best)
+                bsf = jnp.where(u, jax.lax.slice_in_dim(sf_dbl, s0,
+                                                        s0 + npad), bsf)
+            # remainder edges (~0.5%): scatter-max + two-phase payload pick
+            rk = jnp.where(rgs[g], key[rem_dst], -jnp.inf)       # [M]
+            w = jnp.full((npad,), -jnp.inf, st.dtype)
+            w = w.at[rem_src].max(rk, mode="drop")
+            is_win = rgs[g] & (rk == w[src_c])
+            cand = jnp.where(is_win, sf[rem_dst], -jnp.inf)
+            wsf = jnp.full((npad,), -jnp.inf, sf.dtype)
+            wsf = wsf.at[rem_src].max(cand, mode="drop")
+            u = w > best
+            best = jnp.where(u, w, best)
+            bsf = jnp.where(u, wsf, bsf)
 
-    _, stress, subduct, _, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), stress.astype(jnp.float32),
-         subduct.astype(jnp.float32), active0, jnp.bool_(True)),
-    )
-    return stress, subduct
+            upd = best > st
+            new_st.append(jnp.where(upd, best, st))
+            new_sf.append(jnp.where(upd, bsf, sf))
+            new_act.append(active | upd)
+            any_upd = any_upd | jnp.any(upd)
+        return i + 1, tuple(new_st), tuple(new_sf), tuple(new_act), any_upd
+
+    _, sts, sfs, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), sts, sfs, acts0, jnp.bool_(True)))
+    return jnp.stack(sts, 1), jnp.stack(sfs, 1)
 
 
 def rem_gate_eq(cell_value, rem_src, rem_dst):
@@ -334,20 +440,44 @@ def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
     The (dist, tie) pair packs into one float key (dist*2 - tie, tie∈[0,1])
     and is re-derived from the winning key, so only the carries roll as
     payloads. Ties across equal keys resolve by band order (the gather form
-    used slot order) — deterministic either way.
+    used slot order) — deterministic either way. Loop state is flat [F*N]
+    (see the flat-helper block above for why not [N,F]).
     """
+    import numpy as np
+
     n, f = seeds.shape
+    nf = n * f
     c = max(num_carry, 0)
     inf_i = jnp.int32(max_hops + 1)
-    dist0 = jnp.where(seeds, 0, inf_i).astype(jnp.int32)
+    dist0 = jnp.where(_flat(seeds), 0, inf_i).astype(jnp.int32)
     if hops_cap is None:
-        hops_cap = jnp.full((f,), max_hops, jnp.int32)
-    if allow is None:
-        allow = jnp.ones((n, f), bool)
-    if tie is None:
-        tie = jnp.zeros((n, f), jnp.float32)
-    if carried is None:
-        carried = jnp.zeros((max(1, c), n, f), jnp.float32)
+        cap_f = jnp.full((nf,), max_hops, jnp.int32)
+    elif isinstance(hops_cap, np.ndarray):
+        # host cap → a host literal (never a device constant: PERF_NOTES
+        # round-4 — tiny device-constant fetches cost ~80 s at lowering)
+        cap_f = jnp.asarray(np.repeat(np.asarray(hops_cap, np.int32), n))
+    else:
+        cap_f = jnp.repeat(jnp.asarray(hops_cap, jnp.int32), n,
+                           total_repeat_length=nf)
+    allow_f = jnp.ones((nf,), bool) if allow is None else _flat(allow)
+    tie_f = jnp.zeros((nf,), jnp.float32) if tie is None else _flat(tie)
+    carr0 = tuple(jnp.zeros((nf,), jnp.float32) if carried is None
+                  else _flat(carried[j]) for j in range(c))
+
+    # per-band flat gates [FN] (loop-invariant): per-field equality gate
+    # where requested, the plain band mask otherwise
+    if gate_mix is not None:
+        eq, use = gate_mix
+        fgate = tuple(jnp.concatenate(
+            [jnp.where(use[g], eq[:, d], band_mask[:, d]) for g in range(f)])
+            for d in range(len(band_off)))
+    elif gate is not None:
+        fgate = tuple(_flat(gate[:, d, :]) for d in range(len(band_off)))
+    else:
+        fgate = _flat_masks(band_mask, band_off, f)
+
+    src_f, dst_f, srcc_f, real_f = _flat_rem(rem_src, rem_dst, n, f)
+    rg_f = real_f if rem_gate is None else (_flat(rem_gate) & real_f)
 
     def pack(d, t):
         return d.astype(jnp.float32) * 2.0 - t
@@ -361,28 +491,50 @@ def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
         nd_src = dist + 1
         # source-side key: inf when this cell's value can't propagate
         # (dist+1 over the per-field cap folds the cap check into the key)
-        key_src = jnp.where(nd_src <= hops_cap[None, :],
-                            pack(nd_src, tie_c), jnp.inf)
-        payloads = [carr[j] for j in range(c)]
-        best_key, best_pay, _ = banded_select(
-            key_src, payloads, band_off, band_mask, rem_src, rem_dst,
-            gate=gate, rem_gate=rem_gate, minimize=True, gate_mix=gate_mix)
-        adopt = (best_key < pack(dist, tie_c)) & allow
+        key_src = jnp.where(nd_src <= cap_f, pack(nd_src, tie_c), jnp.inf)
+        key_dbl = jnp.concatenate([key_src, key_src])
+        carr_dbl = [jnp.concatenate([p, p]) for p in carr]
+        best_key = jnp.full((nf,), jnp.inf)
+        best_pay = [jnp.zeros((nf,), jnp.float32) for _ in range(c)]
+        for d, off in enumerate(band_off):
+            k = jnp.where(fgate[d], _dbl_shift(key_dbl, off, nf), jnp.inf)
+            u = k < best_key
+            best_key = jnp.where(u, k, best_key)
+            best_pay = [jnp.where(u, _dbl_shift(pd, off, nf), bp)
+                        for pd, bp in zip(carr_dbl, best_pay)]
+        # remainder edges: scatter-min winner key + two-phase payload pick
+        rk = jnp.where(rg_f, key_src[dst_f], jnp.inf)
+        w = jnp.full((nf,), jnp.inf)
+        w = w.at[src_f].min(rk, mode="drop")
+        is_win = rg_f & (rk == w[srcc_f])
+        u = w < best_key
+        best_key = jnp.where(u, w, best_key)
+
+        def pick(p):
+            cand = jnp.where(is_win, p[dst_f], -jnp.inf)
+            out = jnp.full((nf,), -jnp.inf, p.dtype)
+            return out.at[src_f].max(cand, mode="drop")
+
+        best_pay = [jnp.where(u, pick(p), bp)
+                    for p, bp in zip(carr, best_pay)]
+
+        adopt = (best_key < pack(dist, tie_c)) & allow_f
         new_dist = jnp.where(
             adopt, jnp.ceil(best_key / 2.0).astype(jnp.int32), dist)
         new_tie = jnp.where(adopt, new_dist.astype(jnp.float32) * 2.0
                             - best_key, tie_c)
-        new_carr = jnp.stack(
-            [jnp.where(adopt, bp, carr[j])
-             for j, bp in enumerate(best_pay)]) if c else carr
+        new_carr = tuple(jnp.where(adopt, bp, p)
+                         for p, bp in zip(carr, best_pay))
         return i + 1, new_dist, new_tie, new_carr, jnp.any(adopt)
 
     _, dist, tie_out, carr, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), dist0, tie, carried, jnp.bool_(True))
+        cond, body, (jnp.int32(0), dist0, tie_f, carr0, jnp.bool_(True))
     )
-    dist_f = jnp.where(dist > hops_cap[None, :], jnp.inf,
-                       dist.astype(jnp.float32))
-    return dist_f, tie_out, carr
+    dist_out = jnp.where(dist > cap_f, jnp.inf, dist.astype(jnp.float32))
+    carr_out = (jnp.stack([_unflat(p, n) for p in carr])
+                if c else (jnp.zeros((1, n, f), jnp.float32)
+                           if carried is None else carried))
+    return _unflat(dist_out, n), _unflat(tie_out, n), carr_out
 
 
 @partial(jax.jit, static_argnames=("band_off",))

@@ -46,6 +46,26 @@ SNAPSHOTS = dict(
                     29: 0.031, 19: 0.0223, 30: 0.018, 4: 0.0158},
         plate_count=40,
     ),
+    c40k_s42=dict(
+        land_fraction=0.27969,
+        elevation_hist=[0.0, 0.0, 0.0011, 0.00722, 0.05762, 0.0896, 0.23969,
+                        0.1229, 0.1276, 0.07457, 0.00327, 0.0602, 0.06822,
+                        0.07297, 0.04165, 0.0198, 0.0081, 0.00302, 0.00147,
+                        0.00097],
+        koppen_top={0: 0.7203, 1: 0.0386, 29: 0.0332, 19: 0.0317,
+                    6: 0.0266, 3: 0.0256, 8: 0.0246, 30: 0.0195},
+        plate_count=80,
+    ),
+    c40k_s7=dict(
+        land_fraction=0.28887,
+        elevation_hist=[0.0, 0.0, 0.00047, 0.00795, 0.0612, 0.0851, 0.20439,
+                        0.12595, 0.14657, 0.0795, 0.00372, 0.0696, 0.06232,
+                        0.07357, 0.04262, 0.02037, 0.00967, 0.00412, 0.00167,
+                        0.00117],
+        koppen_top={0: 0.7111, 1: 0.0576, 6: 0.0382, 3: 0.033,
+                    19: 0.0247, 29: 0.0237, 4: 0.0193, 30: 0.0179},
+        plate_count=80,
+    ),
 )
 SNAPSHOT = SNAPSHOTS["c20k_s123"]
 

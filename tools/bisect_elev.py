@@ -96,10 +96,16 @@ def _run_prefix(stage, spec, g, proj, plate, sup, domes, nt, warp_t,
     decay = base_decay ** (1 / sf_res)
     sub_decay = (base_decay * 0.45) ** (1 / sf_res)
     num_passes = max(1, round(spread * 3 * sf_res))
+    if stage == "stress1":          # single-pass variant: isolates fixed
+        num_passes = 1              # overhead from per-pass loop cost
     gate_small = band_gate(r_plate, g.band_off, g.band_mask)
     rgate_small = rem_gate_eq(r_plate, g.rem_src, g.rem_dst)
     gate_sup = band_gate(r_super_plate, g.band_off, g.band_mask)
     rgate_sup = rem_gate_eq(r_super_plate, g.rem_src, g.rem_dst)
+    if stage == "stressb":   # barrier variant: pin gates as materialized
+        gate_small, gate_sup, rgate_small, rgate_sup = \
+            jax.lax.optimization_barrier(
+                (gate_small, gate_sup, rgate_small, rgate_sup))
     st2, sf2 = propagate_stress_banded(
         jnp.stack([small.stress, sup_c.stress], 1),
         jnp.stack([small.subduct, sup_c.subduct], 1),
@@ -110,7 +116,7 @@ def _run_prefix(stage, spec, g, proj, plate, sup, domes, nt, warp_t,
     stress, subduct = A._blend_propagated(
         st2[:, 0], sf2[:, 0], st2[:, 1], sf2[:, 1], col.subduct)
     live(stress, subduct)
-    if stage == "stress":
+    if stage in ("stress", "stress1", "stressb"):
         return done()
 
     mountain, coastline, ocean_seeds = col.mountain, col.coastline, col.ocean
