@@ -137,11 +137,12 @@ def _bench_sweep(engine, seed):
 
     params = GenerationParams(seed=seed, n_cells=4_000_000, skip_climate=True)
     _run_once(engine, params)  # warmup/compile at the 4M shapes
+    engine.reset()  # release the retained 4M planet's device buffers
     if _remaining() < 60:
         return
     t0 = time.perf_counter()
     results = generate_batch(params, list(range(seed, seed + 16)),
-                             engine=engine)
+                             engine=engine, lean=True)
     img = export_map(to_device(results[-1].graph), results[-1].elevation,
                      "heightmap", height=4096, width=8192)
     assert np.isfinite(img).all()

@@ -69,6 +69,7 @@ def generate_batch(params: GenerationParams, seeds: Sequence[int],
                    on_progress: Optional[Callable] = None,
                    engine: Optional[PlanetEngine] = None,
                    vmap_chunk: int = 0,
+                   lean: bool = False,
                    ) -> List[PlanetResult]:
     """Run the full generation pipeline for every seed in ``seeds``.
 
@@ -76,6 +77,12 @@ def generate_batch(params: GenerationParams, seeds: Sequence[int],
     Seeds execute in vmapped chunks of ``vmap_chunk`` (0 = auto: bounded by
     a ~2 GB [B,N,K] working-set heuristic); ``vmap_chunk=1`` degrades to
     the sequential per-seed engine path.
+
+    ``lean=True`` keeps only the elevation per result — fetched to HOST
+    memory, with every other device output dropped before the next seed
+    runs. A retained full result pins ~30 debug/climate [N] device arrays
+    (~0.5 GB at 4M cells); 16 of those would exhaust HBM mid-sweep, so
+    large sweeps (bench config 5) must run lean.
 
     ``on_progress(seed_index, pct, label)`` mirrors the worker progress
     protocol per seed.
@@ -112,12 +119,26 @@ def generate_batch(params: GenerationParams, seeds: Sequence[int],
             outs = [jax.tree_util.tree_map(lambda x, b=b: x[b], out_b)
                     for b in range(len(chunk))]
         for st, out in zip(setups, outs):
-            results.append(_result_from_out(st, out))
+            results.append(_result_from_out(st, out, lean=lean))
+        del outs  # lean: last refs to the chunk's device outputs
     return results
 
 
-def _result_from_out(s, out) -> PlanetResult:
+def _result_from_out(s, out, lean: bool = False) -> PlanetResult:
     n_tri = len(s.graph.triangles)
+    if lean:
+        # elevation to host NOW (syncs this seed's dispatch); every other
+        # device array in `out` is released when the caller drops `outs`
+        elevation = np.asarray(out["elevation"])
+        return PlanetResult(
+            graph=s.graph, params=s.params, r_plate=None,
+            plate_seeds=s.plates.seeds, plate_is_ocean=s.plates.is_ocean,
+            plate_density=s.plates.density,
+            pre_post_elevation=None, elevation=elevation,
+            t_elevation=None, stress=None, mountain_mask=None,
+            coastline_mask=None, ocean_seed_mask=None,
+            climate=None, debug={},
+            timing=StageTimer(sync_enabled=False))
     return PlanetResult(
         graph=s.graph, params=s.params, r_plate=out["r_plate"],
         plate_seeds=s.plates.seeds, plate_is_ocean=s.plates.is_ocean,
@@ -142,7 +163,7 @@ def sweep_heightmaps(params: GenerationParams, seeds: Sequence[int],
     from ..api.export import export_map, rasterize_cell_ids
     from ..mesh.device import to_device
 
-    results = generate_batch(params, seeds, devices=devices)
+    results = generate_batch(params, seeds, devices=devices, lean=True)
     shared_ids = None
     for s, res in zip(seeds, results):
         g = to_device(res.graph)

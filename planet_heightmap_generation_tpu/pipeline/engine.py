@@ -131,6 +131,28 @@ def _plate_device_arrays(plates):
             jnp.asarray(plates.density.astype(np.float32)))
 
 
+def _super_device_arrays(super_sp, max_super: Optional[int] = 32):
+    """Device tuple for super plates, padded to ``max_super`` rows so the
+    data-dependent super count never changes jit argument shapes (see
+    host_setup). Returns None when there are no super plates."""
+    if super_sp is None:
+        return None
+    pts = super_sp.plate_to_super.astype(np.int32)
+    so = super_sp.is_ocean
+    spo = super_sp.pole.astype(np.float32)
+    som = super_sp.omega.astype(np.float32)
+    sd = super_sp.density.astype(np.float32)
+    if max_super is not None and len(so) < max_super:
+        pad = max_super - len(so)
+        so = np.concatenate([so, np.zeros(pad, bool)])
+        spo = np.concatenate(
+            [spo, np.tile([[0.0, 1.0, 0.0]], (pad, 1))]).astype(np.float32)
+        som = np.concatenate([som, np.zeros(pad, np.float32)])
+        sd = np.concatenate([sd, np.full(pad, 2.7, np.float32)])
+    return (jnp.asarray(pts), jnp.asarray(so), jnp.asarray(spo),
+            jnp.asarray(som), jnp.asarray(sd))
+
+
 class PlanetSetup:
     """Everything the device pipeline needs, built on host for one seed.
     Shared by the engine, the vmapped seed-batch runner (parallel/batch.py)
@@ -143,11 +165,19 @@ class PlanetSetup:
 
 def host_setup(params: GenerationParams, timer: Optional[StageTimer] = None,
                prog: Optional[Callable] = None,
-               max_super: Optional[int] = None) -> PlanetSetup:
+               max_super: Optional[int] = 32) -> PlanetSetup:
     """The full host prologue: mesh, coarse tectonics, super plates, hotspot
     domes, noise tables — plus the fused-pipeline spec and argument tuple.
-    ``max_super`` pads the super-plate arrays to a fixed row count (needed
-    when stacking setups across seeds for vmap)."""
+
+    ``max_super`` pads the super-plate arrays to a fixed row count. The
+    count of super plates is DATA-dependent (connected components + splits,
+    tectonics/super_plates.py), so without padding two seeds with different
+    counts have different argument shapes and the second seed would silently
+    recompile the whole fused program (~2-8 min cold). Padding to 32 (the
+    reference's ceiling is clamp(P/4, 2, 20) units, js/super-plates.js:16)
+    makes every seed at a given (n_cells, n_plates, …) share ONE executable;
+    dummy rows have zero angular velocity and are mapped to by no plate.
+    Also required when stacking setups across seeds for vmap."""
     from .fused import FusedSpec
     from ..tectonics.coarse import projection_inputs
 
@@ -197,22 +227,7 @@ def host_setup(params: GenerationParams, timer: Optional[StageTimer] = None,
             s.graph, s.coarse, plates, seed, params.n_plates)
 
     p_arrays = _plate_device_arrays(plates)
-    sup_arrays = None
-    if s.super_sp is not None:
-        sp = s.super_sp
-        pts = sp.plate_to_super.astype(np.int32)
-        so = sp.is_ocean
-        spo = sp.pole.astype(np.float32)
-        som = sp.omega.astype(np.float32)
-        sd = sp.density.astype(np.float32)
-        if max_super is not None and len(so) < max_super:
-            pad = max_super - len(so)
-            so = np.concatenate([so, np.zeros(pad, bool)])
-            spo = np.concatenate([spo, np.tile([[0.0, 1.0, 0.0]], (pad, 1))])
-            som = np.concatenate([som, np.zeros(pad, np.float32)])
-            sd = np.concatenate([sd, np.full(pad, 2.7, np.float32)])
-        sup_arrays = (jnp.asarray(pts), jnp.asarray(so), jnp.asarray(spo),
-                      jnp.asarray(som), jnp.asarray(sd))
+    sup_arrays = _super_device_arrays(s.super_sp, max_super)
 
     s.spec = FusedSpec.of(
         params, plates.num_plates, sup_arrays is not None, bool(s.domes),
@@ -284,6 +299,11 @@ class PlanetEngine:
         self._mesh = mesh
         self._w: Optional[dict] = None
         prime_device_transfer()
+
+    def reset(self) -> None:
+        """Drop retained state (and its device buffers) — used before large
+        sweeps so a previous planet's ~30 [N] arrays don't pin HBM."""
+        self._w = None
 
     def _maybe_log_perf(self, params, timer, kind: str) -> None:
         """Append a per-run timing record to PLANET_PERF_LOG (jsonl) — the
@@ -639,15 +659,7 @@ class PlanetEngine:
 
         prog(0, "Rebuilding elevation…")
         p_ocean, p_pole, p_omega, p_dens = _plate_device_arrays(plates)
-        sup_arrays = None
-        if super_sp is not None:
-            sup_arrays = (
-                jnp.asarray(super_sp.plate_to_super.astype(np.int32)),
-                jnp.asarray(super_sp.is_ocean),
-                jnp.asarray(super_sp.pole.astype(np.float32)),
-                jnp.asarray(super_sp.omega.astype(np.float32)),
-                jnp.asarray(super_sp.density.astype(np.float32)),
-            )
+        sup_arrays = _super_device_arrays(super_sp)
 
         if not self._timing and noise_pack is not None:
             # fused edit tail: elevation → erosion → climate, one dispatch
