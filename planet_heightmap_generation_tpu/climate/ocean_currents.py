@@ -129,11 +129,14 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
         coast, west, east_c = _coast_classification(
             g.pos, is_ocean, wind["r_east"], *g.bands)
         barrier = ~is_ocean
-        # the three coast fields relax together ([N,3], one gather/sweep)
+        # the three coast fields relax together ([N,3], one gather/sweep);
+        # hop-capped: every consumer's weight is exactly 0 beyond
+        # 2·coast_threshold hops (see climate.wind.climate_coast_cap)
+        from .wind import climate_coast_cap
         coast_d = bfs_hops_multi_banded(
             jnp.stack([coast, west, east_c], 1),
             jnp.stack([barrier, barrier, barrier], 1),
-            *g.bands)
+            *g.bands, max_hops=climate_coast_cap(n))
     # convert inf → -1 convention of the reference
     d_west = jnp.where(jnp.isfinite(coast_d[:, 1]), coast_d[:, 1], -1.0)
     d_east = jnp.where(jnp.isfinite(coast_d[:, 2]), coast_d[:, 2], -1.0)

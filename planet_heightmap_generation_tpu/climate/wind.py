@@ -232,6 +232,54 @@ def coast_bfs_seeds(g: DeviceGraph, elev, plate_is_ocean, r_plate):
     return seeds, barriers, aux
 
 
+def climate_coast_cap(n: int) -> int:
+    """Sweep bound for the merged climate coast BFS. Relaxing to a fixed
+    point costs O(mesh diameter) sweeps (O(N^1.5) total work), but every
+    consumer saturates: land/plate continentality at the 2000 km smoothstep
+    (js/wind.js:531-554) plus precipitation's hard 3000 km coast cutoff
+    (js/precipitation.js:462-487), ocean west/east coast deflection and
+    warmth at 2·coast_threshold hops (js/ocean.js:306-324, 120-164). Hop
+    distances beyond the cap are indistinguishable from the cap."""
+    avg_edge_km = (math.pi * 6371) / math.sqrt(n)
+    thr = max(5, round(math.sqrt(n) * 0.035))
+    return max(math.ceil(3000.0 / avg_edge_km) + 2, 2 * thr + 2)
+
+
+def climate_coast_fields(g: DeviceGraph, elev, plate_is_ocean, r_plate):
+    """coast_bfs_seeds → hop-capped 5-field BFS → exact saturation fixups.
+    Returns (d5 [N,5] f32, aux). Semantics match the unbounded relaxation
+    for every downstream consumer (see :func:`climate_coast_cap`)."""
+    from ..erosion.flood import connected_components_banded
+
+    seeds5, barriers5, aux = coast_bfs_seeds(g, elev, plate_is_ocean,
+                                             r_plate)
+    npad = seeds5.shape[0]
+    cap = climate_coast_cap(g.n_cells)
+    d5 = bfs_hops_multi_banded(seeds5, barriers5, *g.bands, max_hops=cap)
+    capf = jnp.float32(cap + 1)
+
+    # col 0 — land continentality / precip coast cutoff: far-but-reachable
+    # land (same land component as any main-ocean coast seed) saturates at
+    # ≥3000 km; land unreachable from the main-ocean coast (islands inside
+    # enclosed seas) stays inf → the reference's unvisited -1 downstream.
+    lab = connected_components_banded(aux["is_land"], *g.bands)
+    has_seed = jax.ops.segment_max(seeds5[:, 0].astype(jnp.int32), lab,
+                                   num_segments=npad + 1)
+    reach0 = aux["is_land"] & (has_seed[lab] > 0)
+    d0 = jnp.where(jnp.isfinite(d5[:, 0]), d5[:, 0],
+                   jnp.where(reach0, capf, jnp.inf))
+    # col 1 — plate continentality: on a sphere every plate-land
+    # component's boundary is adjacent to plate-ocean cells, i.e. contains
+    # seeds — so reachable ⟺ any seed exists (all-land planets keep inf)
+    reach1 = aux["plate_land"] & jnp.any(seeds5[:, 1])
+    d1 = jnp.where(jnp.isfinite(d5[:, 1]), d5[:, 1],
+                   jnp.where(reach1, capf, jnp.inf))
+    # cols 2-4 (ocean all/west/east coast): deflection and warmth weights
+    # are exactly 0 beyond 2·coast_threshold < cap — inf ↦ -1 stays exact
+    d5 = jnp.concatenate([d0[:, None], d1[:, None], d5[:, 2:]], 1)
+    return d5, aux
+
+
 def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
                  noise_t: Tables, seed: int = 0, coast_d=None,
                  gf=None, is_land=None, plate_land=None) -> Dict:
@@ -258,11 +306,8 @@ def compute_wind(g: DeviceGraph, elev, plate_is_ocean, r_plate,
     # columns 0-1 arrive via ``coast_d``; standalone calls relax the pair
     # here ([N,2], one gather per sweep).
     if coast_d is None:
-        seeds5, barriers5, aux = coast_bfs_seeds(
-            g, elev, plate_is_ocean, r_plate)
-        d2 = bfs_hops_multi_banded(seeds5[:, :2], barriers5[:, :2],
-                                   *g.bands)
-        coast_d = d2
+        d5, aux = climate_coast_fields(g, elev, plate_is_ocean, r_plate)
+        coast_d = d5[:, :2]
         plate_land = aux["plate_land"]
     coast_dist, p_dist = coast_d[:, 0], coast_d[:, 1]
     cont2 = jnp.stack([

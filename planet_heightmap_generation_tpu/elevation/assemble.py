@@ -540,25 +540,49 @@ def assign_elevation(
     land_coast_seeds = land_mask & (ocean_nb_cnt > 0)
 
     # the five distance fields (js/elevation.js:365-427) relax together in
-    # one [N,5] loop — a single index-bound gather per sweep instead of five
+    # one [N,5] loop — a single index-bound gather per sweep instead of five.
+    #
+    # Hop-capped: relaxing to a fixed point costs O(mesh diameter) sweeps
+    # (O(N^1.5) total work at 1M cells), but every consumer saturates —
+    # dist_coast at the raw 12-hop shelf break (js/elevation.js:896-909),
+    # dist_coast_land at interior_band (:866-887), and the harmonic 1/d
+    # base blend (:638-655) flattens once all three long-range fields
+    # exceed h_far. So the loop runs ceil(1.3·h_far) sweeps (rand_cost
+    # ≥ 0.5 makes values ≤ 0.65·h_far final by then) and the fields
+    # saturate at their caps beyond that — far cells plateau smoothly
+    # instead of carrying exact distances nothing downstream can see.
+    interior_band = max(4, round(16 * sf_res))
+    h_far = float(max(interior_band, 48))
+    bfs_hops = int(math.ceil(1.3 * h_far)) + 2
     dists = bfs_hops_multi_banded(
         jnp.stack([stress_mountain, ocean_seeds, coastline, coast_seeds,
                    land_coast_seeds], 1),
         jnp.stack([ocean_seeds, coastline, stop_r, no_barrier,
                    r_is_ocean], 1),
-        *g.bands,
+        *g.bands, max_hops=bfs_hops,
         rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1))
-    dist_mountain = dists[:, 0]
-    dist_ocean = dists[:, 1]
-    dist_coastline = dists[:, 2]
-    dist_coast = dists[:, 3]
-    dist_coast_land = dists[:, 4]
+
+    def _saturate(d, seed_col, barrier, cap):
+        # finite → clamp at cap; capped-out → cap (unless a barrier cell,
+        # which the reference also never visits, or the field has no seeds
+        # at all — the degenerate no-collision planet keeps its 0.06
+        # no_field fallback, assemble line ~169)
+        far = jnp.where(barrier | ~jnp.any(seed_col), jnp.inf,
+                        jnp.float32(cap))
+        return jnp.where(jnp.isfinite(d), jnp.minimum(d, cap), far)
+
+    dist_mountain = _saturate(dists[:, 0], stress_mountain, ocean_seeds,
+                              h_far)
+    dist_ocean = _saturate(dists[:, 1], ocean_seeds, coastline, h_far)
+    dist_coastline = _saturate(dists[:, 2], coastline, stop_r, h_far)
+    dist_coast = dists[:, 3]  # consumers branch at 5/12 hops; inf = abyss
+    dist_coast_land = _saturate(dists[:, 4], land_coast_seeds, r_is_ocean,
+                                float(interior_band + 1))
 
     max_stress = _stress_p97(stress, g.valid)
 
     # structural band widths (js/elevation.js:429-438, 460, 475, 512, 543,
-    # 571, 601-603, 1057)
-    interior_band = max(4, round(16 * sf_res))
+    # 571, 601-603, 1057); interior_band hoisted above the distance BFS
     tectonic_reach = max(6, round(20 * sf_res))
     plateau_start = max(2, round(3 * sf_res))
     rift_half = max(2, round(4 * sf_res))

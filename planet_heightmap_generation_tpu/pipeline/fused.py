@@ -160,12 +160,10 @@ def _climate_stack(spec: FusedSpec, g, elevation, p_ocean, r_plate,
                    climate_t, out, debug):
     """Shared climate tail (wind → ocean → precip → temp → Köppen) with the
     merged 5-field coast BFS; fills out['climate'] and the debug layers."""
-    from ..climate.wind import coast_bfs_seeds
-    from ..ops.banded import bfs_hops_multi_banded
+    from ..climate.wind import climate_coast_fields
 
     p = spec.params
-    seeds5, barriers5, aux = coast_bfs_seeds(g, elevation, p_ocean, r_plate)
-    d5 = bfs_hops_multi_banded(seeds5, barriers5, *g.bands)
+    d5, aux = climate_coast_fields(g, elevation, p_ocean, r_plate)
     wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
                         coast_d=d5[:, :2], gf=aux["gf"],
                         is_land=aux["is_land"],
