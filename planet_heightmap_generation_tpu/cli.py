@@ -53,14 +53,26 @@ def _params_from_args(args) -> GenerationParams:
 
 
 def _save_result(result, path: str):
+    p = result.params
     out = dict(
         elevation=np.asarray(result.elevation)[: result.graph.n_cells],
         pos=result.graph.pos[: result.graph.n_cells],
         r_plate=np.asarray(result.r_plate)[: result.graph.n_cells],
         plate_is_ocean=result.plate_is_ocean,
         stress=np.asarray(result.stress)[: result.graph.n_cells],
-        seed=result.params.seed,
-        n_cells=result.params.n_cells,
+        seed=p.seed,
+        n_cells=p.n_cells,
+        # mesh-rebuild provenance: export must reconstruct the SAME mesh the
+        # planet was generated on — jitter changes every cell position, so a
+        # hardcoded default silently misregisters pixels (round-2 verdict #6)
+        jitter=p.jitter,
+        code=encode_planet_code(
+            p.seed, p.n_cells, p.jitter, p.n_plates, p.num_continents,
+            p.roughness, p.terrain_warp, p.smoothing, p.glacial_erosion,
+            p.hydraulic_erosion, p.thermal_erosion, p.ridge_sharpening,
+            p.soil_creep, p.continent_size_variety, p.temperature_offset,
+            p.precipitation_offset, p.land_coverage,
+            list(p.toggled_indices)),
     )
     if result.climate is not None:
         out["koppen"] = np.asarray(result.climate["koppen"])[: result.graph.n_cells]
@@ -225,8 +237,12 @@ def main(argv=None):
         data = np.load(args.infile)
         n = int(data["n_cells"])
         seed = int(data["seed"])
-        # rebuild the mesh from the stored seed/cells (mesh is deterministic)
-        graph = build_sphere(n, 0.75, seed=float(seed))
+        # rebuild the mesh from the stored seed/cells/jitter (deterministic;
+        # same RNG threading as engine.generate — build_sphere seeds
+        # ParkMiller(seed) exactly like the engine's rng). Legacy npz files
+        # predate the jitter key; they were all generated at the 0.75 default.
+        jitter = float(data["jitter"]) if "jitter" in data else 0.75
+        graph = build_sphere(n, jitter, seed=float(seed))
         g = to_device(graph)
         elev = np.zeros(g.n_padded, np.float32)
         elev[: graph.n_cells] = data["elevation"]

@@ -21,6 +21,7 @@ from ..mesh.device import DeviceGraph
 from ..ops.banded import (bfs_hops_multi_banded, smooth_masked_banded,
                           banded_sum)
 from .util import smoothstep, smooth_masked, percentile, itcz_lookup
+from .wind import coast_threshold
 
 DEG = math.pi / 180.0
 
@@ -133,10 +134,12 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
         # hop-capped: every consumer's weight is exactly 0 beyond
         # 2·coast_threshold hops (see climate.wind.climate_coast_cap)
         from .wind import climate_coast_cap
+        cap = climate_coast_cap(n)
+        assert cap >= 2 * coast_threshold(n) + 2, (cap, coast_threshold(n))
         coast_d = bfs_hops_multi_banded(
             jnp.stack([coast, west, east_c], 1),
             jnp.stack([barrier, barrier, barrier], 1),
-            *g.bands, max_hops=climate_coast_cap(n))
+            *g.bands, max_hops=cap)
     # convert inf → -1 convention of the reference
     d_west = jnp.where(jnp.isfinite(coast_d[:, 1]), coast_d[:, 1], -1.0)
     d_east = jnp.where(jnp.isfinite(coast_d[:, 2]), coast_d[:, 2], -1.0)
@@ -144,8 +147,8 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
     circ_nh = _circumpolar(lat, lon, is_ocean, g.valid, 60 * DEG, 5 * DEG)
     circ_sh = _circumpolar(lat, lon, is_ocean, g.valid, -60 * DEG, 5 * DEG)
 
-    coast_threshold = max(5, round(math.sqrt(n) * 0.035))
-    warmth_range = coast_threshold * 2
+    thr = coast_threshold(n)
+    warmth_range = thr * 2
     smooth_passes = max(2, round(125 / avg_edge_km))
     warmth_passes = max(3, round(900 / avg_edge_km))
 
@@ -154,7 +157,7 @@ def compute_ocean_currents(g: DeviceGraph, elev, wind: Dict,
         itcz_lats = wind[f"itcz_lats_{name}"]
         cur_e, cur_n = _season_vectors(
             lat, lon, is_ocean, itcz_lats, d_west, d_east,
-            circ_nh, circ_sh, jnp.float32(coast_threshold), jnp.float32(shift))
+            circ_nh, circ_sh, jnp.float32(thr), jnp.float32(shift))
         cur_l += [cur_e, cur_n]
         warm_l.append(_classify_warmth(
             is_ocean, lat, d_west, d_east,

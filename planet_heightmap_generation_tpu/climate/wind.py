@@ -232,6 +232,15 @@ def coast_bfs_seeds(g: DeviceGraph, elev, plate_is_ocean, r_plate):
     return seeds, barriers, aux
 
 
+def coast_threshold(n: int) -> int:
+    """Boundary-current reach in hops: ``max(5, round(0.035·√N))``
+    (js/ocean.js:306-310). THE single definition — ocean-current deflection
+    / warmth consume it and :func:`climate_coast_cap` must bound
+    2·coast_threshold, so both import this helper (round-2 advisor: two
+    diverging copies would silently break the saturation guarantee)."""
+    return max(5, round(math.sqrt(n) * 0.035))
+
+
 def climate_coast_cap(n: int) -> int:
     """Sweep bound for the merged climate coast BFS. Relaxing to a fixed
     point costs O(mesh diameter) sweeps (O(N^1.5) total work), but every
@@ -241,8 +250,8 @@ def climate_coast_cap(n: int) -> int:
     warmth at 2·coast_threshold hops (js/ocean.js:306-324, 120-164). Hop
     distances beyond the cap are indistinguishable from the cap."""
     avg_edge_km = (math.pi * 6371) / math.sqrt(n)
-    thr = max(5, round(math.sqrt(n) * 0.035))
-    return max(math.ceil(3000.0 / avg_edge_km) + 2, 2 * thr + 2)
+    return max(math.ceil(3000.0 / avg_edge_km) + 2,
+               2 * coast_threshold(n) + 2)
 
 
 def climate_coast_fields(g: DeviceGraph, elev, plate_is_ocean, r_plate):

@@ -39,6 +39,23 @@ SUPER_W = 0.95
 BASE_SCALE = 0.6
 
 
+def distance_bfs_caps(sf_res: float):
+    """(interior_band, tectonic_reach, h_far, bfs_hops) for the 5-field
+    distance BFS. The saturation cap ``h_far`` must dominate EVERY consumer's
+    branch point: ``tectonic_reach = 20·sf_res`` (raw_prox/tec_activity,
+    js/elevation.js:757-765) exceeds ``interior_band = 16·sf_res``
+    (js/elevation.js:866-887), so it sets h_far at large N. If it didn't,
+    saturated far-field cells would read d_mtn = h_far < tectonic_reach and
+    carry a spurious raw_prox floor of 1 − h_far/tectonic_reach across
+    entire continental interiors (the round-2 advisor finding; reference
+    decays to 0 there). Invariant tested in tests/test_elevation.py."""
+    interior_band = max(4, round(16 * sf_res))
+    tectonic_reach = max(6, round(20 * sf_res))
+    h_far = float(max(interior_band, tectonic_reach, 48))
+    bfs_hops = int(math.ceil(1.3 * h_far)) + 2
+    return interior_band, tectonic_reach, h_far, bfs_hops
+
+
 def elevation_tables(seed: int) -> Dict[str, Tables]:
     """All seed-derived noise tables the elevation stage consumes, built on
     host once per seed. Passing this pack (plus prebuilt ``domes``) into
@@ -545,15 +562,19 @@ def assign_elevation(
     # Hop-capped: relaxing to a fixed point costs O(mesh diameter) sweeps
     # (O(N^1.5) total work at 1M cells), but every consumer saturates —
     # dist_coast at the raw 12-hop shelf break (js/elevation.js:896-909),
-    # dist_coast_land at interior_band (:866-887), and the harmonic 1/d
-    # base blend (:638-655) flattens once all three long-range fields
-    # exceed h_far. So the loop runs ceil(1.3·h_far) sweeps (rand_cost
-    # ≥ 0.5 makes values ≤ 0.65·h_far final by then) and the fields
-    # saturate at their caps beyond that — far cells plateau smoothly
+    # dist_coast_land at interior_band (:866-887), raw_prox/tec_activity at
+    # tectonic_reach (:757-765), and the harmonic 1/d base blend (:638-655)
+    # flattens once all three long-range fields exceed h_far. The cap must
+    # dominate EVERY consumer's branch point — tectonic_reach = 20·sf_res
+    # exceeds interior_band = 16·sf_res, so it sets h_far at large N; if it
+    # didn't, saturated far-field cells would read d_mtn = h_far <
+    # tectonic_reach and carry a spurious raw_prox floor of
+    # 1 − h_far/tectonic_reach across entire continental interiors (the
+    # round-2 advisor finding). The loop runs ceil(1.3·h_far) sweeps
+    # (rand_cost ≥ 0.5 makes values ≤ 0.65·h_far final by then) and the
+    # fields saturate at their caps beyond that — far cells plateau smoothly
     # instead of carrying exact distances nothing downstream can see.
-    interior_band = max(4, round(16 * sf_res))
-    h_far = float(max(interior_band, 48))
-    bfs_hops = int(math.ceil(1.3 * h_far)) + 2
+    interior_band, tectonic_reach, h_far, bfs_hops = distance_bfs_caps(sf_res)
     dists = bfs_hops_multi_banded(
         jnp.stack([stress_mountain, ocean_seeds, coastline, coast_seeds,
                    land_coast_seeds], 1),
@@ -582,8 +603,8 @@ def assign_elevation(
     max_stress = _stress_p97(stress, g.valid)
 
     # structural band widths (js/elevation.js:429-438, 460, 475, 512, 543,
-    # 571, 601-603, 1057); interior_band hoisted above the distance BFS
-    tectonic_reach = max(6, round(20 * sf_res))
+    # 571, 601-603, 1057); interior_band + tectonic_reach hoisted above the
+    # distance BFS (they set its saturation cap)
     plateau_start = max(2, round(3 * sf_res))
     rift_half = max(2, round(4 * sf_res))
     floor_end = max(1, round(1.5 * sf_res))

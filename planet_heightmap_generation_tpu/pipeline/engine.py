@@ -895,8 +895,15 @@ def _sample_heightmap(g: DeviceGraph, image):
     v11 = image[y1, x1]
     gray = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
             + v01 * (1 - fx) * fy + v11 * fx * fy)
-    elev = jnp.where(gray < 1, -0.5, jnp.sqrt(jnp.maximum(0.0, gray - 1) / 254.0))
-    return jnp.where(g.valid, elev, 0.0).astype(jnp.float32)
+    return jnp.where(g.valid, _grayscale_to_elevation(gray),
+                     0.0).astype(jnp.float32)
+
+
+def _grayscale_to_elevation(gray):
+    """Inverse of the renderer's 6·t² height curve: v<1 → −0.5 ocean floor,
+    else sqrt((v−1)/254) (js/planet-worker.js:705-708)."""
+    return jnp.where(gray < 1, -0.5,
+                     jnp.sqrt(jnp.maximum(0.0, gray - 1) / 254.0))
 
 
 def _derive_synthetic_plates(g: DeviceGraph, elevation):

@@ -92,3 +92,27 @@ def test_determinism_and_seed_sensitivity():
     np.testing.assert_array_equal(np.asarray(a.elevation), np.asarray(b.elevation))
     _, c = _run(seed=6)
     assert np.abs(np.asarray(a.elevation) - np.asarray(c.elevation)).mean() > 0.01
+
+
+def test_distance_bfs_cap_dominates_consumers():
+    """h_far >= every consumer's branch point, at every production size —
+    the round-2 advisor finding: with h_far < tectonic_reach, saturated
+    far-field cells carried a spurious raw_prox floor of
+    1 - h_far/tectonic_reach (tec_activity 0.04) across continental
+    interiors where the reference decays to 0."""
+    import math
+    from planet_heightmap_generation_tpu.elevation.assemble import (
+        distance_bfs_caps)
+
+    for n in (5000, 20000, 40000, 64000, 160000, 640000, 1_000_000,
+              2_560_000):
+        sf_res = math.sqrt(n / 1e4)
+        interior_band, tectonic_reach, h_far, bfs_hops = (
+            distance_bfs_caps(sf_res))
+        # saturated d_mtn = h_far must zero raw_prox = 1 - d/tectonic_reach
+        assert h_far >= tectonic_reach, n
+        # dist_coast_land saturates at interior_band+1 <= h_far window
+        assert h_far >= interior_band, n
+        # sweep budget covers the cap (rand_cost >= 0.5 => values
+        # <= 0.65*h_far are exact; the rest saturates AT the cap)
+        assert bfs_hops >= 1.3 * h_far, n

@@ -125,3 +125,35 @@ def test_export_maps(engine_and_result):
         save_png(out["heightmap"], p)
         with open(p, "rb") as f:
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.mark.slow
+def test_cli_export_rebuilds_mesh_with_saved_jitter(tmp_path):
+    """A planet generated at non-default jitter must export identically via
+    the npz file path and in memory (round-2 verdict: cli export hardcoded
+    jitter 0.75, silently misregistering every pixel). Slow tier: needs its
+    own non-canon-jitter generate (fresh kernel shapes on the CPU backend)."""
+    from planet_heightmap_generation_tpu import cli
+    from planet_heightmap_generation_tpu.api.export import export_map
+    from planet_heightmap_generation_tpu.api.imageio import load_png
+    from planet_heightmap_generation_tpu.mesh.device import to_device
+
+    params = GenerationParams(seed=9, n_cells=2000, n_plates=10,
+                              num_continents=2, jitter=0.4,
+                              skip_climate=True)
+    r = PlanetEngine().generate(params)
+    npz = tmp_path / "p.npz"
+    cli._save_result(r, str(npz))
+    data = np.load(npz)
+    assert float(data["jitter"]) == 0.4
+    assert len(str(data["code"])) >= 22  # full provenance for reapply
+
+    png = tmp_path / "m.png"
+    cli.main(["export", "--in", str(npz), "--type", "heightmap",
+              "--width", "128", "--out", str(png)])
+    got = load_png(str(png)).astype(np.float32)
+
+    mem = export_map(to_device(r.graph), r.elevation, "heightmap",
+                     height=64, width=128)
+    exp = np.clip(np.asarray(mem) * 255 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., :3].astype(np.uint8), exp)

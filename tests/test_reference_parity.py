@@ -241,3 +241,13 @@ def test_reference_distributional_parity(name):
         assert abs(ours["koppen_dist"].get(cls, 0.0) - frac) < 0.12
     assert abs(ours["plate_count"] - ref["plate_count"]) <= \
         max(3, 0.15 * ref["plate_count"])
+
+
+def test_invariant_land_fraction_tracks_land_coverage(snapshot_result):
+    """Contract invariant (BASELINE north star / js/ocean-land.js:121-180):
+    continents grow to ~0.9·landCoverage·N with trapped-sea absorption
+    adding a little back — realized land fraction tracks the slider."""
+    lc = snapshot_result.params.land_coverage
+    lf = float((np.asarray(snapshot_result.elevation)
+                [: snapshot_result.graph.n_cells] > 0).mean())
+    assert abs(lf - lc) < 0.05, (lf, lc)
