@@ -103,7 +103,8 @@ _VIEWER = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "viewer", "globe.html")
 
 
-def export_globe(result, out_dir: str, layer="terrain") -> str:
+def export_globe(result, out_dir: str, layer="terrain",
+                 view: str = "globe") -> str:
     """Write globe geometry (positions f32 + per-layer color u8 buffers +
     a per-cell info block), a manifest, and the self-contained WebGL viewer
     into ``out_dir``. ``layer`` may be one name or a sequence — multiple
@@ -173,6 +174,7 @@ def export_globe(result, out_dir: str, layer="terrain") -> str:
 
     manifest = dict(
         vertices=int(len(pos)), layer=layers[0], layers=layer_meta,
+        initial_view=view,
         positions_bytes=int(pos.nbytes),
         colors_bytes=layer_meta[0]["nbytes"],
         num_cells=geo["num_cells"], cells=cells,

@@ -144,6 +144,10 @@ def main(argv=None):
                     help="layer name, or comma list for a viewer dropdown")
     gl.add_argument("--dir", dest="out_dir", default="globe_out",
                     help="output directory for globe.html/json/bin")
+    gl.add_argument("--view", choices=("globe", "map"), default="globe",
+                    help="initial view mode: orbiting globe or the "
+                         "interactive equirect map (pan across ±180°, "
+                         "'m' toggles at runtime)")
 
     args = ap.parse_args(argv)
 
@@ -178,7 +182,8 @@ def main(argv=None):
             params, on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
         print("diagnostics:", result.diagnostics())
         layer = args.layer.split(",") if "," in args.layer else args.layer
-        html = export_globe(result, args.out_dir, layer=layer)
+        html = export_globe(result, args.out_dir, layer=layer,
+                            view=args.view)
         print(f"globe viewer written: {html}")
         print(f"serve with: python -m http.server -d {args.out_dir}")
         return

@@ -84,3 +84,34 @@ def test_export_globe_cells_block(result, tmp_path):
                    "antimeridian"):
         assert needle in text, needle
     assert len(manifest["koppen_legend"]) == 31
+
+
+def test_export_globe_map_view_projection(result, tmp_path):
+    """`--view map` provenance + the viewer's equirect projection contract
+    (reference js/planet-mesh.js:200-382): after the antimeridian +2 shift,
+    every triangle is lon-contiguous (spread <= 1) except pole fans, which
+    the viewer collapses to their circular-mean longitude (they occupy the
+    map's extreme edge rows, so a zero-width sliver is invisible)."""
+    export_globe(result, str(tmp_path), layer="terrain", view="map")
+    manifest = json.load(open(tmp_path / "globe.json"))
+    assert manifest["initial_view"] == "map"
+    text = open(tmp_path / "globe.html").read()
+    assert 'initial_view === "map"' in text and "setMode(true)" in text
+
+    raw = open(tmp_path / "globe.bin", "rb").read()
+    pos = np.frombuffer(raw, "<f4",
+                        count=manifest["vertices"] * 3).reshape(-1, 3)
+    r = np.linalg.norm(pos, axis=1)
+    y = (np.arcsin(np.clip(pos[:, 1] / r, -1, 1)) / np.pi).reshape(-1, 3)
+    x = (np.arctan2(pos[:, 0], pos[:, 2]) / np.pi).reshape(-1, 3)
+    spread = x.max(1) - x.min(1)
+    am = spread > 1
+    x2 = x.copy()
+    x2[am] = np.where(x[am] < 0, x[am] + 2, x[am])
+    bad = (x2.max(1) - x2.min(1)) > 1
+    # every still-wide triangle must be a pole fan (viewer collapses those)
+    assert (np.abs(y[bad]).max(1) > 0.45).all()
+    assert bad.sum() <= 8, int(bad.sum())
+    # shifted map coordinates stay inside the wrap-clone range the viewer
+    # draws at xoff in {-2, 0, 2}
+    assert x2.min() >= -1.0 - 1e-6 and x2.max() <= 3.0 + 1e-6

@@ -17,11 +17,69 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
-    """Multi-chip sharding dry run over the virtual 8-device CPU mesh."""
+    """Multi-chip sharding dry run over the virtual 8-device CPU mesh.
+    Slow tier: 8 device threads time-share ONE core here, so the full
+    two-phase dryrun (batched terrain step + engine generate sharded over
+    cells) runs ~20 min wall."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_phase1_budgeted():
+    """Fast-tier canary for the multi-chip gate: just the batched terrain
+    step on the ('seed','cells') mesh, with a hard wall-clock budget so a
+    collective-rendezvous deadlock (the round-2 regression) fails the fast
+    tier in minutes instead of hiding behind the slow tier's 1500 s
+    subprocess timeout."""
+    import subprocess
+    import sys
+    import textwrap
+    import os as _os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PLANET_JAX_CACHE"] = "0"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["XLA_FLAGS"] = flags
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            env.pop(k)
+    body = """
+        import __graft_entry__ as ge
+        import numpy as np
+        import jax, jax.numpy as jnp
+        from jax._src import compilation_cache as _cc
+        jax.config.update('jax_compilation_cache_dir', None)
+        _cc.reset_cache()
+        from planet_heightmap_generation_tpu.parallel.sharding import (
+            make_planet_mesh, batched_terrain_step)
+        from planet_heightmap_generation_tpu.ops.noise import make_perm_tables
+        g, gd, elev, _ = ge._tiny_graph(n=2000)
+        mesh = make_planet_mesh(8, seed_parallel=4)
+        b = 4
+        elev_b = jnp.tile(elev[None, :], (b, 1))
+        tabs = [make_perm_tables(float(s)) for s in range(b)]
+        perm_b = jnp.asarray(np.stack([t[0] for t in tabs]))
+        pm12_b = jnp.asarray(np.stack([t[1] for t in tabs]))
+        step = batched_terrain_step(mesh, gd.band_off)
+        with mesh:
+            out = step(elev_b, gd.pos, gd.band_mask, gd.rem_src, gd.rem_dst,
+                       gd.valid, perm_b, pm12_b)
+            out.block_until_ready()
+        assert bool(jnp.isfinite(out).all())
+        print("SUBPROC_OK")
+    """
+    r = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(body)], env=env,
+        capture_output=True, text=True, timeout=240,
+        cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    assert r.returncode == 0 and "SUBPROC_OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
 
 
 def test_generate_batch_seed_sweep():
@@ -82,6 +140,7 @@ def test_sharded_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_engine_generate_matches_single():
     """The REAL pipeline (engine.generate, fused path) sharded over an
     8-device 'cells' mesh must equal the single-device run (VERDICT r1 #4).
@@ -89,7 +148,8 @@ def test_sharded_engine_generate_matches_single():
     Runs in a fresh subprocess — the two fused-engine compiles here are
     among the largest XLA:CPU compiles in the suite, and this jaxlib's CPU
     compiler intermittently segfaults late in a long-lived process (see
-    test_vmapped_batch_matches_sequential)."""
+    test_vmapped_batch_matches_sequential). Slow tier: the sharded fused
+    compile alone runs many minutes on the 1-core host."""
     _run_in_fresh_process("""
         import numpy as np
         import jax
@@ -136,6 +196,7 @@ def _run_in_fresh_process(body: str):
         r.stdout[-2000:], r.stderr[-2000:])
 
 
+@pytest.mark.slow
 def test_vmapped_batch_matches_sequential():
     """In-graph seed batching (vmap over the fused pipeline) must produce
     the same planets as the per-seed path (VERDICT r1 #5).
@@ -143,7 +204,8 @@ def test_vmapped_batch_matches_sequential():
     Runs in a FRESH subprocess: the vmapped fused program is the largest
     XLA:CPU compile in the suite and this jaxlib's CPU compiler
     intermittently segfaults on it late in a long-lived test process
-    (compiles fine in a fresh one — allocator/stack state dependent)."""
+    (compiles fine in a fresh one — allocator/stack state dependent).
+    Slow tier: two 4K fused CPU compiles, many minutes each."""
     _run_in_fresh_process("""
         import numpy as np
         from planet_heightmap_generation_tpu.config import GenerationParams
