@@ -581,7 +581,10 @@ def assign_elevation(
         jnp.stack([ocean_seeds, coastline, stop_r, no_barrier,
                    r_is_ocean], 1),
         *g.bands, max_hops=bfs_hops,
-        rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1))
+        rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1),
+        # pallas path: VALUE cap at the consumer saturation point — exact
+        # min(true_dist, h_far), no (0.65·h_far, h_far) overestimate band
+        value_cap=h_far)
 
     def _saturate(d, seed_col, barrier, cap):
         # finite → clamp at cap; capped-out → cap (unless a barrier cell,

@@ -85,26 +85,90 @@ def connected_components_banded(in_set, band_off, band_mask, rem_src,
     return labels.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("band_off",))
 def _epsilon_fill(elev, is_ocean, open_ocean, valid,
                   band_off, band_mask, rem_src, rem_dst):
-    """Parallel priority-flood fill → (surface, drain_to).
+    """Parallel priority-flood fill → (surface, drain_to). Dispatches to
+    the Pallas sweep kernel on TPU (plain-Python dispatch: the flag must
+    be part of the jit key, so the two variants are SEPARATE jitted
+    functions — a nested-jit trace cache keyed on avals alone would alias
+    a pallas trace into the sharded/vmapped no-pallas paths)."""
+    from ..ops.sweep_pallas import use_pallas
+
+    impl = _epsilon_fill_pallas if use_pallas() else _epsilon_fill_jnp
+    return impl(elev, is_ocean, open_ocean, valid,
+                band_off, band_mask, rem_src, rem_dst)
+
+
+def _fill_common(elev, is_ocean, open_ocean, valid,
+                 band_off, band_mask, rem_src, rem_dst):
+    """Shared fill setup: inland barriers, seeds, initial surface.
 
     Inland seas (ocean cells outside the main component) are barriers: the
     flood neither relaxes through them nor drains into them. Neighbor-side
     pass gates are expressed by pre-masking the evolving surface with
     ``big`` (banded roll sweeps need no per-edge gate arrays)."""
-    n = band_mask.shape[0]
     big = jnp.float32(1e9)
     inland = is_ocean & (~open_ocean)
-
     nbr_open_cnt = banded_sum(open_ocean.astype(jnp.float32),
                               band_off, band_mask, rem_src, rem_dst)
     seed = (~is_ocean) & valid & (nbr_open_cnt > 0)
-
     surface0 = jnp.where(
         is_ocean | seed, elev, jnp.where(valid, big, elev)).astype(jnp.float32)
     frozen = is_ocean | seed | (~valid)
+    return big, inland, seed, surface0, frozen
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _epsilon_fill_pallas(elev, is_ocean, open_ocean, valid,
+                         band_off, band_mask, rem_src, rem_dst):
+    n = band_mask.shape[0]
+    big, inland, seed, surface0, frozen = _fill_common(
+        elev, is_ocean, open_ocean, valid,
+        band_off, band_mask, rem_src, rem_dst)
+    # Pallas sweep kernel (ops/sweep_pallas.py): frozen cells BAKED by
+    # clamping the relax target to their surface (cand = max(surface0,
+    # ·) ≥ surface0 keeps min(surf, cand) = surface0 inductively);
+    # remainder edges applied on [M]-sized gathers outside the kernel.
+    # Bit-identical to the jnp loop in _epsilon_fill_jnp.
+    from ..ops.sweep_pallas import FloodSweeper
+
+    elev_baked = jnp.where(frozen, surface0, elev).astype(jnp.float32)
+    sw = FloodSweeper(band_off, n, 1e9, float(EPS))
+    surf_p, inland2, elevb2, bits = sw.prep(
+        surface0, inland, elev_baked, band_mask)
+    src_c = jnp.clip(rem_src, 0, n - 1)
+    # padded rem_src entries (== n) are in-bounds for the NP8-padded
+    # carry — remap them past its end so mode='drop' still drops them
+    rs = jnp.where(rem_src < n, rem_src, sw.np8)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        surf, _ = state
+        new, chg = sw.sweep(surf, inland2, elevb2, bits)
+        vals = jnp.where(inland[rem_dst], big, surf[rem_dst])
+        cand_r = jnp.maximum(elev_baked[src_c], vals + EPS)
+        new2 = new.at[rs].min(cand_r, mode="drop")
+        changed = (jnp.max(chg) > 0) | jnp.any(
+            new2[src_c] != new[src_c])
+        return new2, changed
+
+    surface_p, _ = jax.lax.while_loop(
+        cond, body, (surf_p, jnp.bool_(True)))
+    surface = sw.finish(surface_p)
+    return _fill_finish(surface, elev, big, inland, seed, is_ocean,
+                        open_ocean, valid, band_off, band_mask,
+                        rem_src, rem_dst)
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _epsilon_fill_jnp(elev, is_ocean, open_ocean, valid,
+                      band_off, band_mask, rem_src, rem_dst):
+    big, inland, seed, surface0, frozen = _fill_common(
+        elev, is_ocean, open_ocean, valid,
+        band_off, band_mask, rem_src, rem_dst)
 
     def cond(state):
         _, changed = state
@@ -114,14 +178,22 @@ def _epsilon_fill(elev, is_ocean, open_ocean, valid,
         surf, _ = state
         # inland-sea cells are impassable: they present `big` to neighbors
         masked = jnp.where(inland, big, surf)
-        min_nbr = banded_min(masked, band_off, band_mask, rem_src, rem_dst,
-                             fill=big)
+        min_nbr = banded_min(masked, band_off, band_mask,
+                             rem_src, rem_dst, fill=big)
         cand = jnp.maximum(elev, min_nbr + EPS)
         new = jnp.where(frozen, surf, jnp.minimum(surf, cand))
         return new, jnp.any(new != surf)
 
-    surface, _ = jax.lax.while_loop(cond, body, (surface0, jnp.bool_(True)))
+    surface, _ = jax.lax.while_loop(
+        cond, body, (surface0, jnp.bool_(True)))
+    return _fill_finish(surface, elev, big, inland, seed, is_ocean,
+                        open_ocean, valid, band_off, band_mask,
+                        rem_src, rem_dst)
 
+
+def _fill_finish(surface, elev, big, inland, seed, is_ocean, open_ocean,
+                 valid, band_off, band_mask, rem_src, rem_dst):
+    n = band_mask.shape[0]
     # cells the flood never reached (land enclosed by inland seas — e.g. an
     # island inside a landlocked basin) keep their ELEVATION, exactly like
     # the reference's surface = copy(r_elevation) init (js/terrain-post.js:
@@ -275,11 +347,13 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
     return out.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("band_off",))
 def priority_flood_carve(elev, is_ocean, valid, band_off, band_mask,
                          rem_src, rem_dst, carve_strength):
     """Full pit resolution: fill + carve + monotonic drainage.
-    Returns (elevation, drain_to, surface)."""
+    Returns (elevation, drain_to, surface). Plain-Python (not jitted as a
+    unit): the ε-fill dispatches between the pallas/jnp sweep variants at
+    trace time, and that flag must never alias through an avals-keyed jit
+    cache — callers trace this inside the fused program anyway."""
     open_ocean = open_ocean_mask(is_ocean, valid, band_off, band_mask,
                                  rem_src, rem_dst)
     surface, drain = _epsilon_fill(elev, is_ocean, open_ocean, valid,

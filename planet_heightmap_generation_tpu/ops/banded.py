@@ -113,14 +113,101 @@ def banded_count(band_mask, rem_src, gate=None, dtype=jnp.int32):
     return out.at[rem_src].add(ones, mode="drop") if rem_src.shape[0] else out
 
 
-@partial(jax.jit, static_argnames=("band_off", "max_hops"))
 def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
                           rem_src, rem_dst, max_hops: int = 0,
-                          rand_cost=None):
+                          rand_cost=None, value_cap=None):
     """Banded drop-in for ops.graph.bfs_hops_multi — F independent
-    hop-distance BFS fields relaxed together (flat [F*N] min-plus loop;
-    see the flat-helper block above for why not [N,F]).
-    Bit-identical to the gather form (min is order-independent)."""
+    hop-distance BFS fields relaxed together. Dispatches to the Pallas
+    inner-sweep kernel on TPU (ops/sweep_pallas.py) and the flat [F*N]
+    jnp min-plus loop elsewhere.
+
+    Cap semantics: the jnp path bounds ITERATIONS at ``max_hops``
+    (values beyond may be path-order overestimates, unreached = +inf);
+    the pallas path bounds VALUES at ``value_cap`` (defaults to
+    ``max_hops`` when costs are unit) — exact min(true_dist, cap) below
+    the cap, ≥cap mapped back to +inf. Both are indistinguishable to
+    consumers, which saturate strictly below the cap; the pallas form is
+    strictly MORE exact in the cap's approach band (it removes the
+    (0.65·cap, cap) overestimate band the round-2 advisor flagged)."""
+    from .sweep_pallas import use_pallas
+
+    if use_pallas():
+        if value_cap is None and max_hops > 0 and rand_cost is None:
+            value_cap = float(max_hops)
+        return _bfs_hops_multi_pallas(seeds, barrier, band_off, band_mask,
+                                      rem_src, rem_dst,
+                                      value_cap=value_cap,
+                                      rand_cost=rand_cost)
+    return _bfs_hops_multi_jnp(seeds, barrier, band_off, band_mask,
+                               rem_src, rem_dst, max_hops, rand_cost)
+
+
+@partial(jax.jit, static_argnames=("band_off", "value_cap"))
+def _bfs_hops_multi_pallas(seeds, barrier, band_off, band_mask,
+                           rem_src, rem_dst, value_cap=None,
+                           rand_cost=None):
+    """Pallas-kernel BFS loop: barrier/seed semantics BAKED into the
+    inputs (cost=+inf at non-seed barriers so they never update and
+    propagate only their initial +inf; dist0=0 at seeds, which no
+    non-negative-cost relaxation can lower), remainder edges applied on
+    [M]-sized gathers outside the kernel, ``inner`` sweeps per dispatch
+    (stale-halo relaxation — same unique fixpoint). With ``value_cap``
+    the fixpoint is exactly min(true_dist, cap); cells at the cap are
+    mapped back to +inf (the unreached convention)."""
+    from .sweep_pallas import BfsSweeper
+
+    n, f = seeds.shape
+    nf = n * f
+    inf = jnp.float32(jnp.inf)
+    seeds_f = _flat(seeds)
+    barrier_f = _flat(barrier)
+    dist0 = jnp.where(seeds_f, 0.0, inf).astype(jnp.float32)
+    cost = jnp.ones((nf,), jnp.float32) if rand_cost is None \
+        else _flat(rand_cost).astype(jnp.float32)
+    cost = jnp.where(barrier_f & (~seeds_f), inf, cost)
+    src_f, dst_f, _, _ = _flat_rem(rem_src, rem_dst, n, f)
+
+    sw = BfsSweeper(band_off, f, n, cap=value_cap)
+    dist_p, cost_p, bits = sw.prep(dist0, band_mask, cost)
+
+    def pad_idx(i):
+        # flat [F*N] index -> padded [F*NP8] index (field blocks widen)
+        fblk = i // n
+        return fblk * sw.np8 + (i - fblk * n)
+
+    src_p = jnp.where(src_f < nf, pad_idx(src_f), f * sw.np8)
+    srcc_p = jnp.clip(src_p, 0, f * sw.np8 - 1)
+    dst_p = pad_idx(dst_f)
+    capf = jnp.float32(jnp.inf if value_cap is None else value_cap)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        dist, _ = state
+        new, chg = sw.sweep(dist, bits, cost_p)
+        # remainder edges: dest rem_src receives neighbor rem_dst's
+        # PRE-dispatch value + the dest cost (+inf at barriers blocks it)
+        cand = jnp.minimum(dist[dst_p] + cost_p[srcc_p], capf)
+        new2 = new.at[src_p].min(cand, mode="drop")
+        changed = (jnp.max(chg) > 0) | jnp.any(new2[srcc_p] != new[srcc_p])
+        return new2, changed
+
+    dist, _ = jax.lax.while_loop(
+        cond, body, (dist_p, jnp.bool_(True)))
+    if value_cap is not None:
+        # ≥cap → +inf: the hop-capped jnp path's "unreached" convention
+        dist = jnp.where(dist >= capf, inf, dist)
+    return sw.finish(dist)
+
+
+@partial(jax.jit, static_argnames=("band_off", "max_hops"))
+def _bfs_hops_multi_jnp(seeds, barrier, band_off, band_mask,
+                        rem_src, rem_dst, max_hops: int = 0,
+                        rand_cost=None):
+    """The flat [F*N] jnp min-plus loop (see the flat-helper block above
+    for why not [N,F]). Bit-identical to the gather form."""
     n, f = seeds.shape
     nf = n * f
     inf = jnp.float32(jnp.inf)
@@ -157,11 +244,32 @@ def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
     return _unflat(dist, n)
 
 
-@partial(jax.jit, static_argnames=("band_off", "passes"))
 def smooth_field_banded(field, band_off, band_mask, rem_src, rem_dst,
                         passes: int):
     """Banded Laplacian smoothing incl. self (ops for js/climate-util.js:5-25
-    parity — drop-in for climate.util.smooth_field)."""
+    parity — drop-in for climate.util.smooth_field). Dispatches to the
+    Pallas sweep kernel on TPU."""
+    from .sweep_pallas import use_pallas
+
+    impl = _smooth_field_pallas if use_pallas() else _smooth_field_jnp
+    return impl(field, band_off, band_mask, rem_src, rem_dst, passes)
+
+
+def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
+                         passes: int):
+    """Banded smoothing restricted to ``mask`` cells (drop-in for
+    climate.util.smooth_masked): non-mask cells neither contribute nor
+    update. Neighbor-side gate = zero the field outside the mask.
+    Dispatches to the Pallas sweep kernel on TPU."""
+    from .sweep_pallas import use_pallas
+
+    impl = _smooth_masked_pallas if use_pallas() else _smooth_masked_jnp
+    return impl(field, mask, band_off, band_mask, rem_src, rem_dst, passes)
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _smooth_field_jnp(field, band_off, band_mask, rem_src, rem_dst,
+                      passes: int):
     deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
     c = deg + 1
     if field.ndim == 2:
@@ -173,11 +281,8 @@ def smooth_field_banded(field, band_off, band_mask, rem_src, rem_dst,
 
 
 @partial(jax.jit, static_argnames=("band_off", "passes"))
-def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
-                         passes: int):
-    """Banded smoothing restricted to ``mask`` cells (drop-in for
-    climate.util.smooth_masked): non-mask cells neither contribute nor
-    update. Neighbor-side gate = zero the field outside the mask."""
+def _smooth_masked_jnp(field, mask, band_off, band_mask, rem_src, rem_dst,
+                       passes: int):
     maskx = _expand(mask, field)
     mf = mask.astype(jnp.float32)
     cnt = banded_sum(mf, band_off, band_mask, rem_src, rem_dst)
@@ -187,6 +292,67 @@ def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
         s = field + banded_sum(contrib, band_off, band_mask, rem_src, rem_dst)
         field = jnp.where(maskx, s / c, field)
     return field.astype(jnp.float32)
+
+
+def _smooth_rem_setup(rem_src, rem_dst, n, np8):
+    """Remainder-edge indices against the NP8-padded [F, NP8] layout."""
+    real = rem_src < n
+    src = jnp.where(real, rem_src, np8)       # drop padded rows past NP8
+    dst = jnp.clip(rem_dst, 0, n - 1)
+    return real, src, dst
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _smooth_field_pallas(field, band_off, band_mask, rem_src, rem_dst,
+                         passes: int):
+    """Pallas smoothing: band sums in the sweep kernel, remainder-edge
+    neighbor sums as [M]-sized scatters per pass. Results match the jnp
+    path within float addition order (band order is identical; remainder
+    contributions are added after the bands in both paths)."""
+    from .sweep_pallas import SmoothSweeper, pack_band_bits
+
+    n = band_mask.shape[0]
+    one_d = field.ndim == 1
+    f2 = (field[None, :] if one_d else field.T).astype(jnp.float32)
+    f = f2.shape[0]
+    sw = SmoothSweeper(band_off, f, n, masked=False)
+    deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
+    inv = sw.pad((1.0 / (deg + 1.0))[None, :])
+    bits = sw.pad(pack_band_bits(band_mask).reshape(1, n))
+    fp = sw.pad(f2)
+    real, src, dst = _smooth_rem_setup(rem_src, rem_dst, n, sw.np8)
+    for _ in range(passes):
+        rem = jnp.zeros((f, sw.np8), jnp.float32).at[:, src].add(
+            jnp.where(real, fp[:, dst], 0.0), mode="drop")
+        fp = sw.sweep(fp, None, bits, rem, inv)
+    out = fp[:, :n]
+    return (out[0] if one_d else out.T).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _smooth_masked_pallas(field, mask, band_off, band_mask, rem_src,
+                          rem_dst, passes: int):
+    from .sweep_pallas import SmoothSweeper, pack_band_bits
+
+    n = band_mask.shape[0]
+    one_d = field.ndim == 1
+    f2 = (field[None, :] if one_d else field.T).astype(jnp.float32)
+    f = f2.shape[0]
+    sw = SmoothSweeper(band_off, f, n, masked=True)
+    mf = mask.astype(jnp.float32)
+    cnt = banded_sum(mf, band_off, band_mask, rem_src, rem_dst)
+    inv = sw.pad((1.0 / (1.0 + cnt))[None, :])
+    mp = sw.pad(mf[None, :])
+    bits = sw.pad(pack_band_bits(band_mask).reshape(1, n))
+    fp = sw.pad(f2)
+    real, src, dst = _smooth_rem_setup(rem_src, rem_dst, n, sw.np8)
+    m_dst = jnp.where(real, mask[dst], False)
+    for _ in range(passes):
+        rem = jnp.zeros((f, sw.np8), jnp.float32).at[:, src].add(
+            jnp.where(m_dst, fp[:, dst], 0.0), mode="drop")
+        fp = sw.sweep(fp, mp, bits, rem, inv)
+    out = fp[:, :n]
+    return (out[0] if one_d else out.T).astype(jnp.float32)
 
 
 def _rem_real(rem_src, npad):

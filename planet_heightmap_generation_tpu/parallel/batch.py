@@ -32,7 +32,17 @@ def _vmapped_pipeline(spec, batch: int):
     key = (spec, batch)
     fn = _VCACHE.get(key)
     if fn is None:
-        fn = jax.jit(jax.vmap(partial(_pipeline, spec)))
+        from ..ops.sweep_pallas import no_pallas
+
+        inner = partial(_pipeline, spec)
+
+        def traced(*args):
+            # vmap-of-pallas_call is not supported for these kernels; the
+            # batched program uses the jnp sweep path
+            with no_pallas():
+                return jax.vmap(inner)(*args)
+
+        fn = jax.jit(traced)
         _VCACHE[key] = fn
     return fn
 

@@ -362,40 +362,52 @@ class PlanetEngine:
         prog(20, "Projecting plates…")
         stage_error = None
         if not self._timing:
-            # production path: the whole device side is ONE jitted program —
-            # a single dispatch and a single final sync (pipeline/fused.py)
-            from .fused import fused_pipeline
+            # production path: terrain is ONE jitted program, climate a
+            # SECOND (pipeline/fused.py) — two dispatches, one final sync.
+            # The split halves the largest executable (the dominant
+            # cold-start cost is shipping it over the tunneled backend) and
+            # the climate program is shared by generate/reapply/edit at the
+            # same (N, P) shapes. It also makes the degraded path
+            # (js/generate.js:246-308 healing) free: a climate failure no
+            # longer re-runs terrain — the terrain result already exists
+            # and the caller can retry via compute_climate().
+            from .fused import fused_pipeline, fused_climate_pipeline
 
+            sharded = self._mesh is not None
+            terrain_spec = dataclasses.replace(
+                s.spec, skip_climate=True, jnp_sweeps=sharded)
             args = s.args
-            if self._mesh is not None:
+            if sharded:
+                # sharded path: jnp sweeps only (XLA cannot auto-partition
+                # a pallas_call across the cells mesh)
                 from ..parallel.sharding import (shard_fused_args,
                                                  no_persistent_cache)
                 args = shard_fused_args(self._mesh, args)
-                with no_persistent_cache(), \
-                        timer.stage("Device pipeline (fused)"):
-                    out = fused_pipeline(s.spec)(*args)
+                cache_ctx = no_persistent_cache
             else:
-                with timer.stage("Device pipeline (fused)"):
-                    # degraded path (js/generate.js:246-308 healing): if the
-                    # full program fails and climate was on, fall back to the
-                    # terrain-only program so the planet still comes back —
-                    # the caller can retry climate via compute_climate()
+                import contextlib
+                cache_ctx = contextlib.nullcontext
+            with cache_ctx(), timer.stage("Device pipeline (fused)"):
+                out = fused_pipeline(terrain_spec)(*args)
+            r_plate = out["r_plate"]
+            elevation = out["elevation"]
+            debug = dict(out["debug"])
+            climate = None
+            if not skip_climate:
+                with cache_ctx(), timer.stage("Climate pipeline (fused)"):
                     try:
-                        out = fused_pipeline(s.spec)(*args)
+                        climate, cdebug = fused_climate_pipeline(sharded)(
+                            args[0], elevation, args[2][0], r_plate,
+                            args[7],
+                            jnp.float32(params.precipitation_offset),
+                            jnp.float32(params.temperature_offset),
+                            jnp.float32(params.land_coverage))
+                        debug.update(cdebug)
                     except Exception as e:  # noqa: BLE001 — resilience seam
-                        if s.spec.skip_climate:
-                            raise
                         import traceback as _tb
                         stage_error = dict(stage="climate", message=str(e),
                                            stack=_tb.format_exc())
-                        terrain_spec = dataclasses.replace(
-                            s.spec, skip_climate=True)
-                        out = fused_pipeline(terrain_spec)(*args)
-            r_plate = out["r_plate"]
             pre_post = out["pre_post"]
-            elevation = out["elevation"]
-            debug = out["debug"]
-            climate = out["climate"]
             t_elev = out["t_elevation"]
             stress = out["stress"]
             mountain = out["mountain"]
@@ -544,35 +556,43 @@ class PlanetEngine:
         prog(20, "Eroding terrain…")
         stage_error = None
         if not self._timing:
-            # fused reapply tail: erosion + climate in one dispatch
-            from .fused import FusedSpec, fused_post_pipeline
+            # fused reapply tail: erosion in one dispatch + the shared
+            # standalone climate program (same executable as generate/edit)
+            from .fused import (FusedSpec, fused_post_pipeline,
+                                fused_climate_pipeline)
 
             spec = FusedSpec.of(
                 params, w["plates"].num_plates, False, False, 0, 0,
-                skip_climate)
+                True)
             hot = w.get("hotspot")
             if hot is None:
                 hot = jnp.zeros_like(w["pre_post"])
             warp_t = w.get("warp_t") or tables(w["seed"] + 9999)
+            p_ocean = jnp.asarray(w["plates"].is_ocean)
             post_args = (w["g"], w["pre_post"], hot,
-                         jnp.asarray(w["plates"].is_ocean), w["r_plate"],
+                         p_ocean, w["r_plate"],
                          warp_t, tables(w["seed"]),
                          jnp.asarray(w["graph"].triangles))
             with timer.stage("Reapply pipeline (fused)"):
-                try:
-                    out = fused_post_pipeline(spec)(*post_args)
-                except Exception as e:  # noqa: BLE001 — resilience seam
-                    if spec.skip_climate:
-                        raise
-                    import traceback as _tb
-                    stage_error = dict(stage="climate", message=str(e),
-                                       stack=_tb.format_exc())
-                    out = fused_post_pipeline(dataclasses.replace(
-                        spec, skip_climate=True))(*post_args)
+                out = fused_post_pipeline(spec)(*post_args)
             elevation = out["elevation"]
-            debug = out["debug"]
-            climate = out["climate"]
+            debug = dict(out["debug"])
+            climate = None
             t_elev = out["t_elevation"]
+            if not skip_climate:
+                with timer.stage("Climate pipeline (fused)"):
+                    try:
+                        climate, cdebug = fused_climate_pipeline()(
+                            w["g"], elevation, p_ocean, w["r_plate"],
+                            tables(w["seed"]),
+                            jnp.float32(params.precipitation_offset),
+                            jnp.float32(params.temperature_offset),
+                            jnp.float32(params.land_coverage))
+                        debug.update(cdebug)
+                    except Exception as e:  # noqa: BLE001 — resilience seam
+                        import traceback as _tb
+                        stage_error = dict(stage="climate", message=str(e),
+                                           stack=_tb.format_exc())
         else:
             with timer.stage("Terrain post-processing",
                              sync=lambda: elevation):
@@ -662,12 +682,14 @@ class PlanetEngine:
         sup_arrays = _super_device_arrays(super_sp)
 
         if not self._timing and noise_pack is not None:
-            # fused edit tail: elevation → erosion → climate, one dispatch
-            from .fused import FusedSpec, fused_edit_pipeline
+            # fused edit tail: elevation → erosion in one dispatch + the
+            # shared standalone climate program
+            from .fused import (FusedSpec, fused_edit_pipeline,
+                                fused_climate_pipeline)
 
             spec = FusedSpec.of(
                 params, plates.num_plates, sup_arrays is not None,
-                bool(domes), 0, 0, skip_climate)
+                bool(domes), 0, 0, True)
             warp_t = w.get("warp_t") or tables(seed + 9999)
             with timer.stage("Edit pipeline (fused)"):
                 out = fused_edit_pipeline(spec)(
@@ -676,9 +698,17 @@ class PlanetEngine:
                     jnp.asarray(graph.triangles), jnp.uint32(seed))
             pre_post = out["pre_post"]
             elevation = out["elevation"]
-            debug = out["debug"]
-            climate = out["climate"]
+            debug = dict(out["debug"])
+            climate = None
             t_elev = out["t_elevation"]
+            if not skip_climate:
+                with timer.stage("Climate pipeline (fused)"):
+                    climate, cdebug = fused_climate_pipeline()(
+                        g, elevation, p_ocean, w["r_plate"], tables(seed),
+                        jnp.float32(params.precipitation_offset),
+                        jnp.float32(params.temperature_offset),
+                        jnp.float32(params.land_coverage))
+                    debug.update(cdebug)
             stress = out["stress"]
             mountain = out["mountain"]
             coastline = out["coastline"]

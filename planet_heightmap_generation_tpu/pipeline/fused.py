@@ -76,16 +76,22 @@ class FusedSpec:
     n_lat: int                      # coarse geobins grid dims (projection)
     n_lon: int
     skip_climate: bool
+    # True → trace with the jnp sweep loops even on TPU (the sharded mesh
+    # path: XLA cannot auto-partition a pallas_call). Part of the spec so
+    # the jit trace cache never aliases a pallas trace into a sharded
+    # lowering.
+    jnp_sweeps: bool = False
 
     @staticmethod
     def of(params: GenerationParams, num_plates: int, has_super: bool,
            has_domes: bool, n_lat: int, n_lon: int,
-           skip_climate: bool) -> "FusedSpec":
+           skip_climate: bool, jnp_sweeps: bool = False) -> "FusedSpec":
         return FusedSpec(
             params=params.replace(seed=0, toggled_indices=(),
                                   skip_climate=None),
             num_plates=num_plates, has_super=has_super, has_domes=has_domes,
-            n_lat=n_lat, n_lon=n_lon, skip_climate=skip_climate)
+            n_lat=n_lat, n_lon=n_lon, skip_climate=skip_climate,
+            jnp_sweeps=jnp_sweeps)
 
 
 def _pipeline(spec: FusedSpec, g: DeviceGraph, proj, plate, sup,
@@ -150,19 +156,23 @@ def _pipeline_from_plates(spec: FusedSpec, g: DeviceGraph, r_plate, plate,
     if not spec.skip_climate:
         # all five climate coast-distance fields (wind continentality pair
         # + ocean all/west/east coast) relax in ONE [N,5] BFS loop
-        _climate_stack(spec, g, elevation, p_ocean, r_plate, climate_t,
-                       out, debug)
+        p = spec.params
+        _climate_stack(g, elevation, p_ocean, r_plate, climate_t,
+                       p.precipitation_offset, p.temperature_offset,
+                       p.land_coverage, out, debug)
     out["debug"] = debug
     return out
 
 
-def _climate_stack(spec: FusedSpec, g, elevation, p_ocean, r_plate,
-                   climate_t, out, debug):
+def _climate_stack(g, elevation, p_ocean, r_plate, climate_t,
+                   precip_off, temp_off, land_cov, out, debug):
     """Shared climate tail (wind → ocean → precip → temp → Köppen) with the
-    merged 5-field coast BFS; fills out['climate'] and the debug layers."""
+    merged 5-field coast BFS; fills out['climate'] and the debug layers.
+    Slider offsets may be Python floats (in-graph callers) or traced f32
+    scalars (the standalone climate program, which thereby serves EVERY
+    offset value with one executable)."""
     from ..climate.wind import climate_coast_fields
 
-    p = spec.params
     d5, aux = climate_coast_fields(g, elevation, p_ocean, r_plate)
     wind = compute_wind(g, elevation, p_ocean, r_plate, climate_t,
                         coast_d=d5[:, :2], gf=aux["gf"],
@@ -170,9 +180,9 @@ def _climate_stack(spec: FusedSpec, g, elevation, p_ocean, r_plate,
                         plate_land=aux["plate_land"])
     ocean = compute_ocean_currents(g, elevation, wind, coast_d=d5[:, 2:])
     precip = compute_precipitation(
-        g, elevation, wind, ocean, p.precipitation_offset, p.land_coverage)
+        g, elevation, wind, ocean, precip_off, land_cov)
     temp = compute_temperature(
-        g, elevation, wind, ocean, precip, p.temperature_offset)
+        g, elevation, wind, ocean, precip, temp_off)
     koppen = classify_koppen(
         elevation, temp["r_temperature_summer"],
         temp["r_temperature_winter"], precip["r_precip_summer"],
@@ -212,15 +222,69 @@ def _post_pipeline(spec: FusedSpec, g, pre_post, hotspot, p_ocean, r_plate,
         climate=None,
     )
     if not spec.skip_climate:
-        _climate_stack(spec, g, elevation, p_ocean, r_plate, climate_t,
-                       out, debug)
+        _climate_stack(g, elevation, p_ocean, r_plate, climate_t,
+                       p.precipitation_offset, p.temperature_offset,
+                       p.land_coverage, out, debug)
     out["debug"] = debug
     return out
+
+
+def _climate_pipeline(g: DeviceGraph, elevation, p_ocean, r_plate,
+                      climate_t, precip_off, temp_off, land_cov):
+    """The standalone climate program: wind → ocean → precip → temp →
+    Köppen from a finished elevation. Split out of the terrain mega-program
+    (round-2 verdict #8): the two executables are each roughly half the
+    size of the old fused-with-climate one — the dominant cold-start cost
+    over the tunneled backend is SHIPPING the deserialized executable, so
+    halving the largest entry halves the worst rung — and this one program
+    is shared by generate, reapply, edit_recompute and compute_climate at
+    the same (N, P) shapes, for every slider-offset value (offsets are
+    traced scalars). Cost: one extra dispatch per generate (~8 ms) and the
+    lost terrain↔climate cross-stage fusion, which is a handful of [N]
+    elementwise ops at a seam that is wide anyway."""
+    out: Dict = {}
+    debug: Dict = {}
+    _climate_stack(g, elevation, p_ocean, r_plate, climate_t,
+                   precip_off, temp_off, land_cov, out, debug)
+    return out["climate"], debug
 
 
 _CACHE: Dict[FusedSpec, object] = {}
 _POST_CACHE: Dict[FusedSpec, object] = {}
 _EDIT_CACHE: Dict[FusedSpec, object] = {}
+_CLIMATE_FNS: Dict[bool, object] = {}
+
+
+def _maybe_jnp_sweeps(spec, fn):
+    """Wrap ``fn`` so tracing runs under no_pallas() when the spec asks
+    for jnp sweeps (the sharded path)."""
+    if not spec.jnp_sweeps:
+        return fn
+    from ..ops.sweep_pallas import no_pallas
+
+    def wrapper(*args):
+        with no_pallas():
+            return fn(*args)
+    return wrapper
+
+
+def fused_climate_pipeline(jnp_sweeps: bool = False):
+    """The jitted standalone climate program (jit specializes per (N, P)
+    input shapes; slider offsets are traced, so one executable serves every
+    offset). ``jnp_sweeps=True`` is the sharded variant (no pallas)."""
+    fn = _CLIMATE_FNS.get(jnp_sweeps)
+    if fn is None:
+        if jnp_sweeps:
+            from ..ops.sweep_pallas import no_pallas
+
+            def traced(*args):
+                with no_pallas():
+                    return _climate_pipeline(*args)
+            fn = jax.jit(traced)
+        else:
+            fn = jax.jit(_climate_pipeline)
+        _CLIMATE_FNS[jnp_sweeps] = fn
+    return fn
 
 
 def fused_edit_pipeline(spec: FusedSpec):
@@ -229,7 +293,8 @@ def fused_edit_pipeline(spec: FusedSpec):
     fn = _EDIT_CACHE.get(spec)
     if fn is None:
         import functools
-        fn = jax.jit(functools.partial(_pipeline_from_plates, spec))
+        fn = jax.jit(_maybe_jnp_sweeps(
+            spec, functools.partial(_pipeline_from_plates, spec)))
         _EDIT_CACHE[spec] = fn
     return fn
 
@@ -239,7 +304,8 @@ def fused_pipeline(spec: FusedSpec):
     fn = _CACHE.get(spec)
     if fn is None:
         import functools
-        fn = jax.jit(functools.partial(_pipeline, spec))
+        fn = jax.jit(_maybe_jnp_sweeps(
+            spec, functools.partial(_pipeline, spec)))
         _CACHE[spec] = fn
     return fn
 
@@ -249,6 +315,7 @@ def fused_post_pipeline(spec: FusedSpec):
     fn = _POST_CACHE.get(spec)
     if fn is None:
         import functools
-        fn = jax.jit(functools.partial(_post_pipeline, spec))
+        fn = jax.jit(_maybe_jnp_sweeps(
+            spec, functools.partial(_post_pipeline, spec)))
         _POST_CACHE[spec] = fn
     return fn

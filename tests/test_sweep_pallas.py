@@ -1,0 +1,126 @@
+"""Pallas sweep kernels vs the jnp banded path (interpret mode on CPU).
+
+The production TPU path runs the banded sweep loops (BFS, ε-fill,
+smoothing) through ops/sweep_pallas.py; on this CPU test backend the
+kernels execute under pltpu.force_tpu_interpret_mode(), so the kernel
+LOGIC (window assembly, static-shift slicing + lane rolls, bitmask gates,
+baked barrier/seed semantics, inner-sweep relaxation, remainder epilogue)
+is exercised without TPU hardware. Contracts tested:
+
+- to-fixpoint BFS: bit-identical to the jnp loop (unique fixpoint, min is
+  order-independent, identical per-path cost sums);
+- value-capped BFS: consumer view min(d, cap) identical to the hop-capped
+  jnp loop for unit costs; exact below 0.6·cap for random costs;
+- ε-fill: bit-identical surface and drain pointers (unique fixpoint).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from planet_heightmap_generation_tpu.ops.sweep_pallas import force_pallas
+from planet_heightmap_generation_tpu.ops.banded import (
+    _bfs_hops_multi_pallas, _bfs_hops_multi_jnp)
+
+
+@pytest.fixture(scope="module")
+def small_graph(tiny_sphere):
+    from planet_heightmap_generation_tpu.mesh.device import to_device
+
+    return tiny_sphere, to_device(tiny_sphere)
+
+
+def _inputs(gd, f=2, seed=0):
+    n = gd.n_padded
+    rng = np.random.default_rng(seed)
+    seeds = jnp.asarray((rng.random((n, f)) < 0.004)
+                        & np.asarray(gd.valid)[:, None])
+    barrier = jnp.asarray(rng.random((n, f)) < 0.05)
+    cost = jnp.asarray(rng.random((n, f)).astype(np.float32) + 0.5)
+    return seeds, barrier, cost
+
+
+def test_bfs_fixpoint_bit_identical(small_graph):
+    _, gd = small_graph
+    seeds, barrier, _ = _inputs(gd)
+    a = np.asarray(_bfs_hops_multi_jnp(seeds, barrier, *gd.bands,
+                                       max_hops=0))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_bfs_hops_multi_pallas(seeds, barrier, *gd.bands))
+    np.testing.assert_array_equal(np.nan_to_num(a, posinf=1e30),
+                                  np.nan_to_num(b, posinf=1e30))
+
+
+def test_bfs_value_cap_consumer_equal(small_graph):
+    _, gd = small_graph
+    seeds, barrier, _ = _inputs(gd, seed=1)
+    cap = 12
+    a = np.asarray(_bfs_hops_multi_jnp(seeds, barrier, *gd.bands,
+                                       max_hops=cap))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_bfs_hops_multi_pallas(seeds, barrier, *gd.bands,
+                                              value_cap=float(cap)))
+    np.testing.assert_array_equal(
+        np.minimum(np.nan_to_num(a, posinf=1e9), cap),
+        np.minimum(np.nan_to_num(b, posinf=1e9), cap))
+
+
+def test_bfs_rand_cost_exact_below_cap(small_graph):
+    _, gd = small_graph
+    seeds, barrier, cost = _inputs(gd, seed=2)
+    capv = 10.0
+    ref = np.asarray(_bfs_hops_multi_jnp(seeds, barrier, *gd.bands,
+                                         max_hops=100, rand_cost=cost))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_bfs_hops_multi_pallas(seeds, barrier, *gd.bands,
+                                              value_cap=capv,
+                                              rand_cost=cost))
+    sel = np.isfinite(ref) & (ref < 0.6 * capv)
+    assert sel.sum() > 100
+    np.testing.assert_array_equal(ref[sel], b[sel])
+
+
+def test_flood_fill_bit_identical(small_graph):
+    from planet_heightmap_generation_tpu.erosion.flood import (
+        _epsilon_fill_pallas, _epsilon_fill_jnp, open_ocean_mask)
+    from planet_heightmap_generation_tpu.ops.noise import SimplexNoise
+
+    g, gd = small_graph
+    sn = SimplexNoise(3.0)
+    pos = g.pos
+    e = np.asarray(sn.fbm(pos[:, 0] * 2, pos[:, 1] * 2, pos[:, 2] * 2))
+    e = np.where(g.valid, e * 0.6 + 0.25 * pos[:, 2], 0.0).astype(np.float32)
+    elev = jnp.asarray(e)
+    is_ocean = (elev <= 0) & gd.valid
+    oo = open_ocean_mask(is_ocean, gd.valid, *gd.bands)
+    sa, da = _epsilon_fill_jnp(elev, is_ocean, oo, gd.valid, *gd.bands)
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        sb, db = _epsilon_fill_pallas(elev, is_ocean, oo, gd.valid,
+                                      *gd.bands)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_smoothing_matches_jnp(small_graph):
+    from planet_heightmap_generation_tpu.ops.banded import (
+        _smooth_field_pallas, _smooth_field_jnp,
+        _smooth_masked_pallas, _smooth_masked_jnp)
+
+    _, gd = small_graph
+    n = gd.n_padded
+    rng = np.random.default_rng(3)
+    field = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.6) & gd.valid
+
+    a = np.asarray(_smooth_field_jnp(field, *gd.bands, 3))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_smooth_field_pallas(field, *gd.bands, 3))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+    a = np.asarray(_smooth_masked_jnp(f2, mask, *gd.bands, 2))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_smooth_masked_pallas(f2, mask, *gd.bands, 2))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
