@@ -155,14 +155,16 @@ def linear_to_srgb(c):
 
 
 @partial(jax.jit, static_argnames=("n_lat", "n_lon", "band_h", "width",
-                                   "height", "band_row"))
+                                   "height"))
 def _band_cell_ids(pos, bins_idx, bins_mask, bins_points,
-                   n_lat: int, n_lon: int, band_row: int, band_h: int,
+                   n_lat: int, n_lon: int, band_row, band_h: int,
                    height: int, width: int):
-    """Exact nearest-cell ids for one row band via the covering index."""
+    """Exact nearest-cell ids for one row band via the covering index.
+    ``band_row`` is TRACED (a scalar offset): a 65_536-px export is 16+
+    bands and must reuse ONE compiled kernel, not one per band."""
     from ..mesh.geobins import nearest_cell
 
-    rows = band_row + jnp.arange(band_h, dtype=jnp.float32)
+    rows = jnp.float32(band_row) + jnp.arange(band_h, dtype=jnp.float32)
     plat = (0.5 - (rows + 0.5) / height) * jnp.pi
     plon = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2 - 1) * jnp.pi
     cl = jnp.cos(plat)[:, None]

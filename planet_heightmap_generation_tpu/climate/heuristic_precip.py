@@ -77,11 +77,14 @@ def west_coast_signal(pos, is_land, coast_dist_land, east,
                            jnp.where(ocean_dot_east < 0, 1.0, -1.0), 0.0)
     land_f = is_land.astype(jnp.float32)
     c = 1 + banded_sum(land_f, band_off, band_mask, rem_src, rem_dst)
-    for _ in range(wc_passes):
-        contrib = jnp.where(is_land, west_coast, 0.0)
-        s = west_coast + banded_sum(contrib, band_off, band_mask,
-                                    rem_src, rem_dst)
-        west_coast = jnp.where(is_land, s / c, 0.0)
+
+    def body(_, wc):
+        contrib = jnp.where(is_land, wc, 0.0)
+        s = wc + banded_sum(contrib, band_off, band_mask, rem_src, rem_dst)
+        return jnp.where(is_land, s / c, 0.0)
+
+    west_coast = jax.lax.fori_loop(0, wc_passes, body,
+                                   west_coast.astype(jnp.float32))
     return west_coast.astype(jnp.float32)
 
 

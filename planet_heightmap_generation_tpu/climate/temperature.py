@@ -33,10 +33,15 @@ def _diffuse_ocean_warmth(warmth2, is_land, plate_cont,
     field = jnp.where((~is_land)[:, None], warmth2, 0.0).astype(jnp.float32)
     frozen = (plate_cont >= 0.95)[:, None]
     c = (1 + banded_count(band_mask, rem_src, dtype=jnp.float32))[:, None]
-    for _ in range(passes):
-        s = field + banded_sum(field, band_off, band_mask, rem_src, rem_dst)
-        field = jnp.where(frozen, field, s / c)
-    return field
+
+    # fori_loop, not unrolled: ~1400 km of diffusion is dozens of passes at
+    # 1M cells and unrolled passes bloat the climate executable (cold-start
+    # cost = executable bytes over the tunnel)
+    def body(_, f):
+        s = f + banded_sum(f, band_off, band_mask, rem_src, rem_dst)
+        return jnp.where(frozen, f, s / c)
+
+    return jax.lax.fori_loop(0, passes, body, field)
 
 
 @partial(jax.jit, static_argnames=("is_summer",))

@@ -28,10 +28,12 @@ def smooth_field(field, nbr_idx, nbr_mask, passes: int):
     else:
         m = nbr_mask
         c = 1 + jnp.sum(nbr_mask, axis=1)
-    for _ in range(passes):
-        s = field + jnp.sum(jnp.where(m, field[nbr_idx], 0.0), axis=1)
-        field = s / c
-    return field.astype(jnp.float32)
+
+    def body(_, f):
+        return (f + jnp.sum(jnp.where(m, f[nbr_idx], 0.0), axis=1)) / c
+
+    return jax.lax.fori_loop(0, passes, body,
+                             field.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("passes",))
@@ -48,10 +50,12 @@ def smooth_masked(field, mask, nbr_idx, nbr_mask, passes: int):
         c = 1 + jnp.sum(ok, axis=1)
         okx = ok
         maskx = mask
-    for _ in range(passes):
-        s = field + jnp.sum(jnp.where(okx, field[nbr_idx], 0.0), axis=1)
-        field = jnp.where(maskx, s / c, field)
-    return field.astype(jnp.float32)
+
+    def body(_, f):
+        s = f + jnp.sum(jnp.where(okx, f[nbr_idx], 0.0), axis=1)
+        return jnp.where(maskx, s / c, f)
+
+    return jax.lax.fori_loop(0, passes, body, field.astype(jnp.float32))
 
 
 @jax.jit

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -64,38 +65,64 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
                                     jnp.float32(glacial_strength))
     g_scale = 1.0 / g_iters if g_iters > 0 else 0.0
 
+    # The iteration loop is a lax.scan over per-iteration step flags — NOT a
+    # Python unroll: up to 25 unrolled iterations (each containing banded
+    # argmin selects and pointer-doubling while loops) dominated the fused
+    # executable's size, and executable BYTES are the dominant cold-start
+    # cost shipped over the tunneled backend. The scan body appears once per
+    # segment; lax.cond skips a step's execution in iterations where its
+    # slider count has run out. The mid-loop re-flood at 75% of iterations
+    # (js/terrain-post.js:444-462) splits the scan into two segments.
+    def step(elev, flags):
+        do_g, do_h, do_t = flags
+        if glac_idx is not None:
+            elev = jax.lax.cond(
+                do_g,
+                lambda e: glacial_step(
+                    e, is_ocean, valid, g.band_off, g.band_mask, band_dist,
+                    g.rem_src, g.rem_dst, rem_dist, glac_idx,
+                    jnp.float32(glacial_strength), jnp.float32(g_scale)),
+                lambda e: e, elev)
+        if h_iters > 0:
+            def hyd(e):
+                rcv, dist, is_pit = steepest_receivers(
+                    e, is_ocean, valid, g.band_off, g.band_mask, band_dist,
+                    g.rem_src, g.rem_dst, rem_dist)
+                land = (~is_ocean) & valid
+                flow = flow_accumulation(land, rcv, is_pit)
+                return stream_power_solve(
+                    e, is_ocean, valid, rcv, dist, is_pit, flow,
+                    jnp.float32(k_coeff), jnp.float32(m_exp),
+                    jnp.float32(dt))
+            elev = jax.lax.cond(do_h, hyd, lambda e: e, elev)
+        if t_iters > 0:
+            elev = jax.lax.cond(
+                do_t,
+                lambda e: thermal_step(
+                    e, is_ocean, valid, g.band_off, g.band_mask, band_dist,
+                    g.rem_src, g.rem_dst, rem_dist,
+                    jnp.float32(talus_slope), jnp.float32(k_thermal)),
+                lambda e: e, elev)
+        return elev, None
+
+    def run_segment(elev, lo, hi):
+        if hi <= lo:
+            return elev
+        its = np.arange(lo, hi)
+        flags = (jnp.asarray(its < g_iters if glac_idx is not None
+                             else np.zeros(len(its), bool)),
+                 jnp.asarray(its < h_iters),
+                 jnp.asarray(its < t_iters))
+        elev, _ = jax.lax.scan(step, elev, flags)
+        return elev
+
     mid_flood_iter = round(total * 0.75)
-    mid_done = False
-
-    for it in range(total):
-        if not mid_done and it >= mid_flood_iter:
-            mid_done = True
-            elev, _, _ = priority_flood_carve(
-                elev, is_ocean, valid, *bands, jnp.float32(0.85))
-
-        if glac_idx is not None and it < g_iters:
-            elev = glacial_step(elev, is_ocean, valid,
-                                g.band_off, g.band_mask, band_dist,
-                                g.rem_src, g.rem_dst, rem_dist,
-                                glac_idx, jnp.float32(glacial_strength),
-                                jnp.float32(g_scale))
-
-        if it < h_iters:
-            rcv, dist, is_pit = steepest_receivers(
-                elev, is_ocean, valid, g.band_off, g.band_mask, band_dist,
-                g.rem_src, g.rem_dst, rem_dist)
-            land = (~is_ocean) & valid
-            flow = flow_accumulation(land, rcv, is_pit)
-            elev = stream_power_solve(
-                elev, is_ocean, valid, rcv, dist, is_pit, flow,
-                jnp.float32(k_coeff), jnp.float32(m_exp), jnp.float32(dt))
-
-        if it < t_iters:
-            elev = thermal_step(elev, is_ocean, valid,
-                                g.band_off, g.band_mask, band_dist,
-                                g.rem_src, g.rem_dst, rem_dist,
-                                jnp.float32(talus_slope),
-                                jnp.float32(k_thermal))
+    mid = mid_flood_iter if mid_flood_iter < total else total
+    elev = run_segment(elev, 0, mid)
+    if mid < total:
+        elev, _, _ = priority_flood_carve(
+            elev, is_ocean, valid, *bands, jnp.float32(0.85))
+        elev = run_segment(elev, mid, total)
 
     if glac_idx is not None:
         elev = glacial_post_smooth(elev, is_ocean, valid, *bands, glac_idx)

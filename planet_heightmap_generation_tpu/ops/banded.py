@@ -274,10 +274,15 @@ def _smooth_field_jnp(field, band_off, band_mask, rem_src, rem_dst,
     c = deg + 1
     if field.ndim == 2:
         c = c[:, None]
-    for _ in range(passes):
-        s = field + banded_sum(field, band_off, band_mask, rem_src, rem_dst)
-        field = s / c
-    return field.astype(jnp.float32)
+    field = field.astype(jnp.float32)
+
+    # fori_loop, not a Python unroll: pass counts scale with sqrt(N) (km →
+    # hops), and unrolled passes bloat the fused executable — whose BYTES
+    # are the dominant cold-start cost shipped over the tunneled backend.
+    def body(_, f):
+        return (f + banded_sum(f, band_off, band_mask, rem_src, rem_dst)) / c
+
+    return jax.lax.fori_loop(0, passes, body, field)
 
 
 @partial(jax.jit, static_argnames=("band_off", "passes"))
@@ -287,11 +292,14 @@ def _smooth_masked_jnp(field, mask, band_off, band_mask, rem_src, rem_dst,
     mf = mask.astype(jnp.float32)
     cnt = banded_sum(mf, band_off, band_mask, rem_src, rem_dst)
     c = 1 + (cnt[:, None] if field.ndim == 2 else cnt)
-    for _ in range(passes):
-        contrib = jnp.where(maskx, field, 0.0)
-        s = field + banded_sum(contrib, band_off, band_mask, rem_src, rem_dst)
-        field = jnp.where(maskx, s / c, field)
-    return field.astype(jnp.float32)
+    field = field.astype(jnp.float32)
+
+    def body(_, f):
+        contrib = jnp.where(maskx, f, 0.0)
+        s = f + banded_sum(contrib, band_off, band_mask, rem_src, rem_dst)
+        return jnp.where(maskx, s / c, f)
+
+    return jax.lax.fori_loop(0, passes, body, field)
 
 
 def _smooth_rem_setup(rem_src, rem_dst, n, np8):
@@ -321,10 +329,13 @@ def _smooth_field_pallas(field, band_off, band_mask, rem_src, rem_dst,
     bits = sw.pad(pack_band_bits(band_mask).reshape(1, n))
     fp = sw.pad(f2)
     real, src, dst = _smooth_rem_setup(rem_src, rem_dst, n, sw.np8)
-    for _ in range(passes):
+
+    def body(_, fp):
         rem = jnp.zeros((f, sw.np8), jnp.float32).at[:, src].add(
             jnp.where(real, fp[:, dst], 0.0), mode="drop")
-        fp = sw.sweep(fp, None, bits, rem, inv)
+        return sw.sweep(fp, None, bits, rem, inv)
+
+    fp = jax.lax.fori_loop(0, passes, body, fp)
     out = fp[:, :n]
     return (out[0] if one_d else out.T).astype(jnp.float32)
 
@@ -347,10 +358,13 @@ def _smooth_masked_pallas(field, mask, band_off, band_mask, rem_src,
     fp = sw.pad(f2)
     real, src, dst = _smooth_rem_setup(rem_src, rem_dst, n, sw.np8)
     m_dst = jnp.where(real, mask[dst], False)
-    for _ in range(passes):
+
+    def body(_, fp):
         rem = jnp.zeros((f, sw.np8), jnp.float32).at[:, src].add(
             jnp.where(m_dst, fp[:, dst], 0.0), mode="drop")
-        fp = sw.sweep(fp, mp, bits, rem, inv)
+        return sw.sweep(fp, mp, bits, rem, inv)
+
+    fp = jax.lax.fori_loop(0, passes, body, fp)
     out = fp[:, :n]
     return (out[0] if one_d else out.T).astype(jnp.float32)
 

@@ -76,6 +76,15 @@ def main():
         r = engine.generate(p)
         jax.block_until_ready(r.elevation)
         assert r.diagnostics()["nan_count"] == 0
+        if cfg == "5w":
+            # bench config 5 also exports one 8K heightmap — compile the
+            # rasterize + colorize programs at that shape now
+            import numpy as np
+            from planet_heightmap_generation_tpu.api.export import export_map
+            from planet_heightmap_generation_tpu.mesh.device import to_device
+            img = export_map(to_device(r.graph), r.elevation, "heightmap",
+                             height=4096, width=8192)
+            assert np.isfinite(img).all()
         engine.reset()
         size = sum(os.path.getsize(os.path.join(CACHE, f))
                    for f in os.listdir(CACHE)) if os.path.isdir(CACHE) else 0
