@@ -243,6 +243,23 @@ def _triangle_elevations(elevation, triangles):
     return jnp.mean(elevation[triangles], axis=1)
 
 
+def _host_retained(w: dict, key: str):
+    """Fetch a retained array to host (once) and release its device buffer.
+
+    Retained-state arrays that are only ever *inputs* to later commands
+    (pre-post elevation, hotspot layer) don't need to live in HBM between
+    commands — at 4M cells each pins 16 MB per retained planet. The first
+    command that needs one converts it to numpy in place; callers upload a
+    fresh device copy per dispatch and DONATE it to the fused program
+    (fused.fused_post_pipeline), so between commands the retained planet
+    holds no device buffer for these fields at all."""
+    v = w.get(key)
+    if v is not None and not isinstance(v, np.ndarray):
+        v = np.asarray(v)
+        w[key] = v
+    return v
+
+
 _TRANSFER_PRIMED = False
 
 
@@ -564,12 +581,17 @@ class PlanetEngine:
             spec = FusedSpec.of(
                 params, w["plates"].num_plates, False, False, 0, 0,
                 True)
-            hot = w.get("hotspot")
-            if hot is None:
-                hot = jnp.zeros_like(w["pre_post"])
+            # pre_post / hotspot are retained HOST-side and re-uploaded as
+            # fresh device buffers each call — fused_post_pipeline donates
+            # them (argnums 1,2), aliasing the output elevation in place.
+            pre_post_np = _host_retained(w, "pre_post")
+            hot_np = _host_retained(w, "hotspot")
+            pre_post_in = jnp.asarray(pre_post_np)
+            hot = (jnp.zeros_like(pre_post_in) if hot_np is None
+                   else jnp.asarray(hot_np))
             warp_t = w.get("warp_t") or tables(w["seed"] + 9999)
             p_ocean = jnp.asarray(w["plates"].is_ocean)
-            post_args = (w["g"], w["pre_post"], hot,
+            post_args = (w["g"], pre_post_in, hot,
                          p_ocean, w["r_plate"],
                          warp_t, tables(w["seed"]),
                          jnp.asarray(w["graph"].triangles))

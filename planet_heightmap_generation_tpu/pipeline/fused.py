@@ -311,11 +311,20 @@ def fused_pipeline(spec: FusedSpec):
 
 
 def fused_post_pipeline(spec: FusedSpec):
-    """Jitted post+climate tail (reapply / import-heightmap), cached."""
+    """Jitted post+climate tail (reapply / import-heightmap), cached.
+
+    ``pre_post`` and ``hotspot`` (argnums 1, 2) are DONATED: the engine
+    retains them host-side between commands (engine.py `_host_retained`)
+    and uploads a fresh device copy per call, so XLA aliases the output
+    elevation onto the input buffer instead of allocating a second [N]
+    array — the reference's transferable-buffer move semantics
+    (js/planet-worker.js:328-334) applied to HBM (SURVEY §2.10 "donated
+    buffers")."""
     fn = _POST_CACHE.get(spec)
     if fn is None:
         import functools
         fn = jax.jit(_maybe_jnp_sweeps(
-            spec, functools.partial(_post_pipeline, spec)))
+            spec, functools.partial(_post_pipeline, spec)),
+            donate_argnums=(1, 2))
         _POST_CACHE[spec] = fn
     return fn
