@@ -1,9 +1,17 @@
 """Command-line interface — mirrors the five worker commands plus export
 (SURVEY.md §7 M5: generate / reapply / edit / climate / import / export).
 
+The worker keeps retained state alive between messages
+(js/planet-worker.js:104-134); the CLI equivalent is a SESSION file:
+``generate --session s.npz`` saves it, and ``reapply`` / ``edit`` /
+``climate`` load it, run the corresponding worker command, and save back.
+
 Usage:
-    python -m planet_heightmap_generation_tpu.cli generate --seed 42 --cells 40000 --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli generate --seed 42 --cells 40000 --out planet.npz --session s.npz
     python -m planet_heightmap_generation_tpu.cli generate --code <planet-code> --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli reapply --session s.npz --smoothing 0.8 --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli edit --session s.npz --toggle 3,7 --out planet.npz
+    python -m planet_heightmap_generation_tpu.cli climate --session s.npz --temperature-offset 5 --out climate.npz
     python -m planet_heightmap_generation_tpu.cli export --in planet.npz --type heightmap --width 2048 --out map.png
     python -m planet_heightmap_generation_tpu.cli import-heightmap --image gray.npy --cells 40000 --out planet.npz
     python -m planet_heightmap_generation_tpu.cli code --seed 42 --cells 204000
@@ -109,6 +117,38 @@ def main(argv=None):
 
     g = sub.add_parser("generate", help="full planet generation")
     add_gen_args(g)
+    g.add_argument("--session", default=None,
+                   help="also save retained worker state for later "
+                        "reapply/edit/climate commands")
+
+    # the three retained-state worker commands (js/planet-worker.js:944-954)
+    SCULPT_SLIDERS = ("smoothing", "glacial", "hydraulic", "thermal",
+                      "ridge", "warp")
+    ra = sub.add_parser(
+        "reapply", help="re-run erosion post-processing on a saved session "
+                        "with changed sculpt sliders")
+    ra.add_argument("--session", required=True)
+    for s_ in SCULPT_SLIDERS:
+        ra.add_argument(f"--{s_}", type=float, default=None)
+    ra.add_argument("--skip-climate", action="store_true")
+    ra.add_argument("--out", default="planet.npz")
+
+    ed = sub.add_parser(
+        "edit", help="toggle plate ocean/land state on a saved session and "
+                     "recompute elevation onward")
+    ed.add_argument("--session", required=True)
+    ed.add_argument("--toggle", required=True,
+                    help="comma list of plate indices to flip")
+    ed.add_argument("--skip-climate", action="store_true")
+    ed.add_argument("--out", default="planet.npz")
+
+    cl = sub.add_parser(
+        "climate", help="(re)compute climate on a saved session, optionally "
+                        "with new temperature/precipitation offsets")
+    cl.add_argument("--session", required=True)
+    cl.add_argument("--temperature-offset", type=float, default=None)
+    cl.add_argument("--precipitation-offset", type=float, default=None)
+    cl.add_argument("--out", default="climate.npz")
 
     e = sub.add_parser("export", help="equirect map export")
     e.add_argument("--in", dest="infile", required=True)
@@ -171,6 +211,63 @@ def main(argv=None):
         print(result.timing.table())
         print("diagnostics:", result.diagnostics())
         _save_result(result, args.out)
+        if args.session:
+            engine.save_session(args.session)
+            print(f"session saved: {args.session}")
+        return
+
+    if args.cmd == "reapply":
+        from .pipeline import PlanetEngine
+        engine = PlanetEngine.load_session(args.session)
+        sculpt_map = dict(smoothing="smoothing", glacial="glacial_erosion",
+                          hydraulic="hydraulic_erosion",
+                          thermal="thermal_erosion",
+                          ridge="ridge_sharpening", warp="terrain_warp")
+        sculpt = {param: getattr(args, flag)
+                  for flag, param in sculpt_map.items()
+                  if getattr(args, flag) is not None}
+        result = engine.reapply(
+            sculpt=sculpt or None, skip_climate=args.skip_climate,
+            on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
+        print("diagnostics:", result.diagnostics())
+        _save_result(result, args.out)
+        engine.save_session(args.session)
+        print(f"session updated: {args.session}")
+        return
+
+    if args.cmd == "edit":
+        from .pipeline import PlanetEngine
+        engine = PlanetEngine.load_session(args.session)
+        toggles = [int(x) for x in args.toggle.split(",") if x.strip()]
+        result = engine.edit_recompute(
+            toggles, skip_climate=args.skip_climate,
+            on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
+        print("diagnostics:", result.diagnostics())
+        _save_result(result, args.out)
+        engine.save_session(args.session)
+        print(f"session updated: {args.session}")
+        return
+
+    if args.cmd == "climate":
+        from .pipeline import PlanetEngine
+        engine = PlanetEngine.load_session(args.session)
+        climate = engine.compute_climate(
+            temperature_offset=args.temperature_offset,
+            precipitation_offset=args.precipitation_offset,
+            on_progress=lambda pct, label: print(f"[{pct:3.0f}%] {label}"))
+        n = engine._w["graph"].n_cells
+        out = dict(koppen=np.asarray(climate["koppen"])[:n])
+        for s_ in ("summer", "winter"):
+            out[f"temperature_{s_}"] = np.asarray(
+                climate["temp"][f"r_temperature_{s_}"])[:n]
+            out[f"precip_{s_}"] = np.asarray(
+                climate["precip"][f"r_precip_{s_}"])[:n]
+            out[f"wind_speed_{s_}"] = np.asarray(
+                climate["wind"][f"r_wind_speed_{s_}"])[:n]
+        np.savez_compressed(args.out, **out)
+        print(f"saved {args.out}")
+        engine.save_session(args.session)
+        print(f"session updated: {args.session}")
         return
 
     if args.cmd == "globe":

@@ -54,6 +54,16 @@ K_FIXED = 8
 # by scatter ops.
 BAND_COUNT = 32
 
+# PLANET_BAND_COUNT overrides the band count (results stay exact at any
+# value — edges not covered by a band fall into the remainder list). The
+# multi-chip dryrun sets it low: every banded sweep unrolls D masked rolls,
+# so D scales the fused program's instruction count (and SPMD collective
+# count) almost linearly, and the dryrun's wall is XLA:CPU *compile* time
+# on one core, not execution.
+import os as _os
+if _os.environ.get("PLANET_BAND_COUNT"):
+    BAND_COUNT = int(_os.environ["PLANET_BAND_COUNT"])
+
 _BAND_OFF_CACHE: dict = {}
 
 

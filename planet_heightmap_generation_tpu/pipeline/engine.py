@@ -50,7 +50,9 @@ class PlanetResult:
     plate_seeds: np.ndarray
     plate_is_ocean: np.ndarray
     plate_density: np.ndarray
-    pre_post_elevation: jax.Array
+    # host numpy after any reapply/edit (retained state is converted via
+    # _host_retained and re-uploaded per command); jax.Array after generate
+    pre_post_elevation: "jax.Array | np.ndarray"
     elevation: jax.Array
     t_elevation: jax.Array
     stress: jax.Array
@@ -321,6 +323,73 @@ class PlanetEngine:
         """Drop retained state (and its device buffers) — used before large
         sweeps so a previous planet's ~30 [N] arrays don't pin HBM."""
         self._w = None
+
+    # ── session persistence (CLI analog of the worker's retained state) ──
+    def save_session(self, path: str) -> None:
+        """Persist retained state so a later CLI process can reapply/edit/
+        compute-climate without re-running generate. Only the NON-derivable
+        products are stored (pre-post elevation, hotspot, plate map, final
+        elevation, masks, plate ocean flags + params); everything else in
+        ``_w`` (mesh, coarse tectonics, noise tables…) is deterministic from
+        params and is replayed by ``host_setup`` on load. The reference
+        keeps this state alive in the worker between messages
+        (js/planet-worker.js:104-134); a CLI has to put it on disk."""
+        import json as _json
+        if self._w is None:
+            raise RuntimeError("No retained state to save")
+        w = self._w
+        out = dict(
+            params_json=np.str_(_json.dumps(dataclasses.asdict(w["params"]))),
+            pre_post=np.asarray(w["pre_post"], np.float32),
+            r_plate=np.asarray(w["r_plate"], np.int32),
+            elevation_final=np.asarray(w["elevation_final"], np.float32),
+            stress=np.asarray(w["stress"], np.float32),
+            mountain=np.asarray(w["mountain"], bool),
+            coastline=np.asarray(w["coastline"], bool),
+            ocean_seeds=np.asarray(w["ocean_seeds"], bool),
+            plate_is_ocean=np.asarray(w["plates"].is_ocean, bool),
+        )
+        if w.get("hotspot") is not None:
+            out["hotspot"] = np.asarray(w["hotspot"], np.float32)
+        np.savez_compressed(path, **out)
+
+    @classmethod
+    def load_session(cls, path: str, timing: Optional[bool] = None,
+                     mesh=None) -> "PlanetEngine":
+        """Rebuild an engine with retained state from ``save_session``
+        output: host_setup replays the deterministic prologue, the stored
+        arrays fill in the generate products."""
+        import json as _json
+
+        data = np.load(path)
+        pd = _json.loads(str(data["params_json"]))
+        pd["toggled_indices"] = tuple(pd.get("toggled_indices", ()))
+        params = GenerationParams(**pd)
+
+        eng = cls(timing=timing, mesh=mesh)
+        s = host_setup(params)
+        s.plates.is_ocean = np.asarray(data["plate_is_ocean"], bool)
+        assign_plate_densities(s.plates)
+        hotspot = (np.asarray(data["hotspot"], np.float32)
+                   if "hotspot" in data.files else None)
+        eng._w = dict(
+            graph=s.graph, g=s.g, params=params, seed=params.seed,
+            coarse=s.coarse, r_plate=jnp.asarray(data["r_plate"]),
+            plates=s.plates, super_sp=s.super_sp,
+            original_is_ocean=s.original_is_ocean,
+            noise_pack=s.noise_pack, warp_t=s.warp_t,
+            # retained inputs stay host numpy (the _host_retained
+            # convention): commands upload fresh device copies per call
+            pre_post=np.asarray(data["pre_post"], np.float32),
+            elevation_final=jnp.asarray(data["elevation_final"]),
+            mountain=jnp.asarray(data["mountain"]),
+            coastline=jnp.asarray(data["coastline"]),
+            ocean_seeds=jnp.asarray(data["ocean_seeds"]),
+            stress=jnp.asarray(data["stress"]),
+            hotspot=hotspot,
+            cached_wind=None, cached_ocean=None,
+        )
+        return eng
 
     def _maybe_log_perf(self, params, timer, kind: str) -> None:
         """Append a per-run timing record to PLANET_PERF_LOG (jsonl) — the
@@ -616,12 +685,18 @@ class PlanetEngine:
                         stage_error = dict(stage="climate", message=str(e),
                                            stack=_tb.format_exc())
         else:
+            # route retained inputs through _host_retained here too, so the
+            # retained-state type (host numpy) is identical no matter which
+            # path ran last (ADVICE r3: the staged path used to leave these
+            # as jax.Arrays while the fused path converted them)
+            pre_post_np = _host_retained(w, "pre_post")
+            hot_np = _host_retained(w, "hotspot")
             with timer.stage("Terrain post-processing",
                              sync=lambda: elevation):
                 elevation, erosion_delta = run_post_processing(
-                    w["g"], w["pre_post"], w["seed"],
+                    w["g"], jnp.asarray(pre_post_np), w["seed"],
                     dataclasses.asdict(params),
-                    hotspot=w.get("hotspot"),
+                    hotspot=None if hot_np is None else jnp.asarray(hot_np),
                     avg_edge=math.pi / math.sqrt(w["graph"].n_cells),
                     warp_t=w.get("warp_t"))
             debug = dict(erosionDelta=erosion_delta)
@@ -816,6 +891,27 @@ class PlanetEngine:
 
         g = w["g"]
         elevation = w["elevation_final"]
+        if not self._timing:
+            # production path: the SAME standalone climate executable as
+            # generate/reapply/edit (fused.py _climate_pipeline) — offsets
+            # are traced scalars, so every offset value reuses one compile.
+            # The staged path below keeps per-stage timing + wind/ocean
+            # caching for the timing engine.
+            from .fused import fused_climate_pipeline
+
+            prog(10, "Computing climate…")
+            with timer.stage("Climate pipeline (fused)"):
+                climate, _cdebug = fused_climate_pipeline()(
+                    g, jnp.asarray(elevation),
+                    jnp.asarray(w["plates"].is_ocean), w["r_plate"],
+                    tables(w["seed"]),
+                    jnp.float32(params.precipitation_offset),
+                    jnp.float32(params.temperature_offset),
+                    jnp.float32(params.land_coverage))
+            prog(95, "Done")
+            w["cached_wind"] = climate["wind"]
+            w["cached_ocean"] = climate["ocean"]
+            return dict(climate, timing=timer)
         wind = w.get("cached_wind")
         ocean = w.get("cached_ocean")
         if wind is None:

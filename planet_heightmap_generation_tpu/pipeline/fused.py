@@ -311,7 +311,7 @@ def fused_pipeline(spec: FusedSpec):
 
 
 def fused_post_pipeline(spec: FusedSpec):
-    """Jitted post+climate tail (reapply / import-heightmap), cached.
+    """Jitted post tail (the engine's fused *reapply* dispatch), cached.
 
     ``pre_post`` and ``hotspot`` (argnums 1, 2) are DONATED: the engine
     retains them host-side between commands (engine.py `_host_retained`)
@@ -319,7 +319,15 @@ def fused_post_pipeline(spec: FusedSpec):
     elevation onto the input buffer instead of allocating a second [N]
     array — the reference's transferable-buffer move semantics
     (js/planet-worker.js:328-334) applied to HBM (SURVEY §2.10 "donated
-    buffers")."""
+    buffers").
+
+    CALLER CONTRACT (ADVICE r3): argnums 1 and 2 MUST be freshly-uploaded
+    throwaway device buffers (``jnp.asarray`` of host numpy obtained via
+    ``engine._host_retained``), NEVER a retained device array — donation
+    invalidates the input buffer, and donating a retained array would break
+    every later command that reads it (deleted-buffer RuntimeError). The
+    only call site today is engine.reapply; new callers must follow the
+    same _host_retained → jnp.asarray upload pattern."""
     fn = _POST_CACHE.get(spec)
     if fn is None:
         import functools

@@ -157,3 +157,61 @@ def test_cli_export_rebuilds_mesh_with_saved_jitter(tmp_path):
                      height=64, width=128)
     exp = np.clip(np.asarray(mem) * 255 + 0.5, 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got[..., :3].astype(np.uint8), exp)
+
+
+def test_session_save_load_reapply_consistent(engine_and_result, tmp_path):
+    """CLI session round-trip: save_session → load_session replays the
+    deterministic host prologue and restores retained state such that a
+    no-change reapply reproduces the live engine's current final elevation
+    exactly (the worker's retained-state contract, js/planet-worker.js:104,
+    persisted to disk for the CLI)."""
+    engine, _ = engine_and_result
+    p = tmp_path / "sess.npz"
+    engine.save_session(str(p))
+
+    eng2 = PlanetEngine.load_session(str(p))
+    w1, w2 = engine._w, eng2._w
+    assert w2["params"] == w1["params"]
+    np.testing.assert_array_equal(np.asarray(w2["r_plate"]),
+                                  np.asarray(w1["r_plate"]))
+    np.testing.assert_array_equal(w2["plates"].is_ocean, w1["plates"].is_ocean)
+    np.testing.assert_array_equal(np.asarray(w2["pre_post"]),
+                                  np.asarray(w1["pre_post"]))
+
+    # deterministic post stage: reapply with unchanged params on the
+    # restored session == the live engine's retained final elevation
+    r2 = eng2.reapply(skip_climate=True)
+    np.testing.assert_allclose(np.asarray(r2.elevation),
+                               np.asarray(w1["elevation_final"]),
+                               rtol=0, atol=0)
+
+
+def test_cli_session_commands(tmp_path):
+    """generate --session → reapply/edit on the session file (the three
+    worker commands the CLI gained in round 4; ref js/planet-worker.js:944)."""
+    from planet_heightmap_generation_tpu import cli
+
+    sess = tmp_path / "s.npz"
+    out1 = tmp_path / "p1.npz"
+    # canonical shapes (4000/12/2) so the staged kernels compiled by the
+    # session fixture are reused — no fresh CPU compiles in the fast tier
+    cli.main(["generate", "--seed", "11", "--cells", "4000", "--plates",
+              "12", "--continents", "2", "--skip-climate",
+              "--out", str(out1), "--session", str(sess)])
+    assert sess.exists()
+    base = np.load(out1)["elevation"]
+
+    out2 = tmp_path / "p2.npz"
+    cli.main(["reapply", "--session", str(sess), "--smoothing", "1.0",
+              "--hydraulic", "0.0", "--thermal", "0.0", "--warp", "0.0",
+              "--ridge", "0.0", "--skip-climate", "--out", str(out2)])
+    re = np.load(out2)["elevation"]
+    assert re.shape == base.shape
+    assert (re != base).any()
+
+    out3 = tmp_path / "p3.npz"
+    cli.main(["edit", "--session", str(sess), "--toggle", "0",
+              "--skip-climate", "--out", str(out3)])
+    ed = np.load(out3)
+    assert np.isfinite(ed["elevation"]).all()
+    assert bool(ed["plate_is_ocean"][0]) != bool(np.load(out1)["plate_is_ocean"][0])

@@ -260,3 +260,146 @@ def test_import_grayscale_curve_goldens():
     # the curve inverts the renderer's 6·t² height mapping: full white is
     # exactly t=1
     assert got[-1] == pytest.approx(1.0)
+
+
+# ── Round-4 tranche: wind/climate curve goldens (VERDICT r3 #9) ──────────────
+# ITCZ latitude formula (js/wind.js:174-232), periodic-spline solver
+# (js/wind.js:12-71), pressure field (js/wind.js:239-301), zonal precip base
+# curve (js/heuristic-precip.js:16-37). Literals hand-evaluated from the
+# reference source; the device kernels must reproduce them.
+
+DEG = math.pi / 180.0
+
+
+def _uniform_bins(land_frac, elev, n_lat=36, n_lon=72):
+    """Synthetic geo-bin aggregates: every bin has count 1, the given land
+    fraction and elevation sum — spatially uniform, so the ITCZ sampling /
+    smoothing stages are exact no-ops and the zonal formula shows through."""
+    nb = n_lat * n_lon
+    cnt = jnp.ones(nb, jnp.float32)
+    land = jnp.full(nb, land_frac, jnp.float32)
+    esum = jnp.full(nb, elev, jnp.float32)
+    return cnt, land, esum
+
+
+@pytest.mark.parametrize("land,elev,expect_deg", [
+    (0.0, 0.0, 5.0),       # all ocean → the 5° default
+    (1.0, 0.0, 20.0),      # full land pull: 5 + 15, clamp no-op
+    (0.25, 0.0, 12.5),     # landPull = min(1, 0.25*2) = 0.5 → 5 + 7.5
+    # elevToHeightKm(0.5) = 6·0.5⁴·(5−4·0.5) = 1.125 km → −1.6875°
+    (0.25, 0.5, 10.8125),
+    (1.0, 1.0, 11.0),      # 5 + 15 − 6·1.5 = 11  (elev 1.0 → 6 km)
+])
+def test_itcz_latitude_formula(land, elev, expect_deg):
+    """itczDeg = 5 + min(1, 2·landFrac)·15 − elevKm·1.5, clamped [5, 20]
+    (js/wind.js:195-207), checked on uniform fields for both seasons."""
+    from planet_heightmap_generation_tpu.climate.wind import _itcz_latitudes
+
+    cnt, land_a, esum = _uniform_bins(land, elev)
+    for sign in (1.0, -1.0):
+        lats = np.asarray(_itcz_latitudes(cnt, land_a, esum, sign))
+        np.testing.assert_allclose(lats, expect_deg * sign * DEG,
+                                   rtol=0, atol=1e-4)
+
+
+def test_periodic_spline_matches_reference_solver():
+    """Device Gauss-Seidel periodic spline (20 sweeps) vs an independent
+    numpy transcription of js/wind.js:12-71, at knots and midpoints."""
+    from planet_heightmap_generation_tpu.climate.wind import (
+        _build_periodic_spline, eval_spline, _ITCZ_LONS, NUM_ITCZ_LON)
+
+    n = NUM_ITCZ_LON
+    lons = np.asarray(_ITCZ_LONS, np.float64)
+    ys = (12.0 + 4.0 * np.sin(2 * lons) + 2.0 * np.cos(5 * lons)) * DEG
+
+    # reference solver, transcribed: h uniform, alpha_i = 3/h·(y[i+1]-y[i])
+    # − 3/h·(y[i]-y[i-1]); 20 Gauss-Seidel sweeps of
+    # c[i] = (alpha[i] − h·c[i-1] − h·c[i+1]) / (4h);  b, d from c.
+    h = 2 * np.pi / n
+    alpha = (3 / h) * (np.roll(ys, -1) - ys) - (3 / h) * (ys - np.roll(ys, 1))
+    c = np.zeros(n)
+    for _ in range(20):
+        for i in range(n):
+            c[i] = (alpha[i] - h * c[(i - 1) % n] - h * c[(i + 1) % n]) / (4 * h)
+    b = (np.roll(ys, -1) - ys) / h - h * (np.roll(c, -1) + 2 * c) / 3
+    d = (np.roll(c, -1) - c) / (3 * h)
+
+    sp = _build_periodic_spline(jnp.asarray(ys, jnp.float32))
+    # knots reproduce ys exactly; midpoints match the numpy transcription
+    got_knots = np.asarray(eval_spline(sp, jnp.asarray(lons, jnp.float32)))
+    np.testing.assert_allclose(got_knots, ys, rtol=0, atol=5e-5)
+    mid = lons + h / 2
+    want_mid = ys + b * (h / 2) + c * (h / 2) ** 2 + d * (h / 2) ** 3
+    got_mid = np.asarray(eval_spline(sp, jnp.asarray(mid, jnp.float32)))
+    np.testing.assert_allclose(got_mid, want_mid, rtol=0, atol=5e-4)
+
+
+# (lat°, continentality, elevation, season, expected hPa) — hand-evaluated
+# from js/wind.js:239-301 with a FLAT ITCZ spline at ±5° (summer +5, winter
+# −5) and the noise term excluded (subtracted exactly in the test):
+#   45N ocean summer:  1013 − 15e^{−12.5} + 12e^{−0.5} − 10e^{−1.125}
+#                      + 8e^{−12.5}                      = 1017.031817
+#   60N cont=1 elev=.5 winter: 1013 + 8.4e^{−6.125} − 10 + 8e^{−4.8828125}
+#                      + 14 − 3·1.125                    = 1013.703981
+#   30S cont=.35 summer: 1013 − 15e^{−9.5703125} + 10.74e^{−0.125}
+#                      − 10e^{−4.5} + 14·0.75·0.5        = 1027.615880
+PRESSURE_ROWS = [
+    (45.0, 0.0, 0.0, "summer", 1017.031817),
+    (60.0, 1.0, 0.5, "winter", 1013.703981),
+    (-30.0, 0.35, 0.0, "summer", 1027.615880),
+]
+
+
+@pytest.mark.parametrize("lat,cont,elev,season,expect", PRESSURE_ROWS)
+def test_pressure_field_goldens(lat, cont, elev, season, expect):
+    from planet_heightmap_generation_tpu.climate.util import geo_frame
+    from planet_heightmap_generation_tpu.climate.wind import (
+        _build_periodic_spline, _pressure_kernel, NUM_ITCZ_LON)
+    from planet_heightmap_generation_tpu.ops.noise import tables, fbm
+
+    is_summer = season == "summer"
+    itcz_deg = 5.0 if is_summer else -5.0
+    sp = _build_periodic_spline(
+        jnp.full(NUM_ITCZ_LON, itcz_deg * DEG, jnp.float32))
+
+    # Y-up convention (js/wind.js:418-443): lat from y, lon = atan2(x, z)
+    lat_r, lon_r = lat * DEG, 0.3
+    pos = jnp.asarray([[math.cos(lat_r) * math.sin(lon_r),
+                        math.sin(lat_r),
+                        math.cos(lat_r) * math.cos(lon_r)]], jnp.float32)
+    gf = geo_frame(pos)
+    t = tables(3.0)
+    p = _pressure_kernel(pos, gf, sp, jnp.asarray([cont], jnp.float32),
+                         jnp.asarray([elev], jnp.float32), t, is_summer)
+    noise = np.asarray(
+        fbm(t, pos[:, 0] * 2, pos[:, 1] * 2, pos[:, 2] * 2, 3)) * 2
+    got = float(np.asarray(p)[0] - noise[0])
+    # f32 accumulation at ~1013 hPa: eps ≈ 6e-5·1013 per op
+    assert abs(got - expect) < 5e-3, (got, expect)
+
+
+# distDeg → zonalBase, hand-evaluated from js/heuristic-precip.js:16-37
+# (smoothstep(a,b,x) = t²(3−2t)):
+ZONAL_ROWS = [
+    (0.0, 1.0), (4.9, 1.0),
+    (7.5, 0.675),            # 1 − 0.65·ss(5,10,7.5)=1−0.65·0.5
+    (10.0, 0.35),
+    (19.0, 0.185),           # 0.35 − 0.33·0.5
+    (28.0, 0.02), (30.0, 0.02),
+    (44.0, 0.26),            # 0.02 + 0.48·0.5
+    (55.0, 0.5),
+    (62.5, 0.4),             # 0.5 − 0.2·0.5
+    (70.0, 0.3),
+    (80.0, 0.2),             # 0.3 − 0.2·0.5
+    (90.0, 0.1),
+]
+
+
+def test_zonal_base_curve_goldens():
+    from planet_heightmap_generation_tpu.climate.heuristic_precip import (
+        zonal_base)
+
+    d = jnp.asarray([r[0] for r in ZONAL_ROWS], jnp.float32)
+    want = np.asarray([r[1] for r in ZONAL_ROWS], np.float32)
+    got = np.asarray(zonal_base(d))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)

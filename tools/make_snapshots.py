@@ -12,7 +12,19 @@ configs in tests/test_reference_parity.py CONFIGS.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a TRUE CPU run matching tests/conftest.py: the axon sitecustomize
+# registers the tunneled TPU plugin whenever PALLAS_AXON_POOL_IPS is set and
+# that registration wins over JAX_PLATFORMS — snapshot values produced on
+# the TPU differ from the CPU values the test tier compares against.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("PLANET_JAX_CACHE", "0")
+_flags = os.environ.get("XLA_FLAGS", "")
+for _f in ("--xla_force_host_platform_device_count=8",
+           "--xla_cpu_parallel_codegen_split_count=1"):
+    if _f.split("=")[0] not in _flags:
+        _flags = (_flags + " " + _f).strip()
+os.environ["XLA_FLAGS"] = _flags
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
