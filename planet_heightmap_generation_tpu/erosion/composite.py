@@ -55,9 +55,15 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
     bands = g.bands
     band_dist, rem_dist = _edge_lengths(g)
 
+    # ocean mask is frozen for the whole loop → ONE components call serves
+    # both the initial flood and the 75% re-flood
+    open_ocean = None
     if h_iters > 0:
+        from .flood import open_ocean_mask
+        open_ocean = open_ocean_mask(is_ocean, valid, *bands)
         elev, _, _ = priority_flood_carve(
-            elev, is_ocean, valid, *bands, jnp.float32(0.5))
+            elev, is_ocean, valid, *bands, jnp.float32(0.5),
+            open_ocean=open_ocean)
 
     glac_idx = None
     if g_iters > 0 and glacial_strength > 0:
@@ -121,7 +127,8 @@ def erode_composite(g: DeviceGraph, elev, is_ocean,
     elev = run_segment(elev, 0, mid)
     if mid < total:
         elev, _, _ = priority_flood_carve(
-            elev, is_ocean, valid, *bands, jnp.float32(0.85))
+            elev, is_ocean, valid, *bands, jnp.float32(0.85),
+            open_ocean=open_ocean)
         elev = run_segment(elev, mid, total)
 
     if glac_idx is not None:

@@ -57,12 +57,31 @@ def open_ocean_mask(is_ocean, valid, band_off, band_mask, rem_src, rem_dst):
     return is_ocean & valid & (labels == main)
 
 
-@partial(jax.jit, static_argnames=("band_off",))
 def connected_components_banded(in_set, band_off, band_mask, rem_src,
                                 rem_dst):
-    """Min-label components of the subgraph induced by ``in_set`` cells —
-    banded min-label propagation + pointer jumping (the [N] label[label]
-    jumps stay gathers; the edge reduction rides the roll bands)."""
+    """Min-label components of the subgraph induced by ``in_set`` cells.
+    Non-members get label N. Root-hooked + compressed (see
+    ops.banded.connected_components_gated for the convergence argument:
+    plain propagation was LINEAR in component diameter — 505 iterations on
+    the 1M-cell ocean); the pallas impl adds 8 local sweeps per dispatch."""
+    from ..ops.sweep_pallas import use_pallas
+    from ..ops.banded import band_gate, _cc_core_pallas
+
+    n = band_mask.shape[0]
+    if use_pallas() and n < (1 << 24):
+        gate = band_gate(in_set, band_off, band_mask) & in_set[:, None]
+        src_c = jnp.clip(rem_src, 0, n - 1)
+        rem_ok = (rem_src < n) & in_set[src_c] & \
+            in_set[jnp.clip(rem_dst, 0, n - 1)]
+        init = jnp.where(in_set, jnp.arange(n, dtype=jnp.float32),
+                         jnp.float32(n))
+        return _cc_core_pallas(init, in_set, gate, rem_ok, band_off,
+                               rem_src, rem_dst)
+    return _cc_inset_jnp(in_set, band_off, band_mask, rem_src, rem_dst)
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _cc_inset_jnp(in_set, band_off, band_mask, rem_src, rem_dst):
     n = band_mask.shape[0]
     init = jnp.where(in_set, jnp.arange(n, dtype=jnp.int32), n)
 
@@ -76,7 +95,11 @@ def connected_components_banded(in_set, band_off, band_mask, rem_src,
         best = banded_min(lab_m, band_off, band_mask, rem_src, rem_dst,
                           fill=n)
         new = jnp.where(in_set, jnp.minimum(labels, best), labels)
-        # pointer jumping ×2 (member labels always point at member cells)
+        # hook: merge touched regions through their roots (member labels
+        # always point at member cells; non-members contribute n = no-op)
+        new = new.at[jnp.clip(labels, 0, n - 1)].min(
+            jnp.where(in_set, new, n))
+        # pointer jumping ×2
         new = jnp.where(in_set, new[jnp.clip(new, 0, n - 1)], new)
         new = jnp.where(in_set, new[jnp.clip(new, 0, n - 1)], new)
         return new, jnp.any(new != labels)
@@ -348,14 +371,22 @@ def monotonic_enforce(elev, drain, is_ocean, valid, rounds: int = 0):
 
 
 def priority_flood_carve(elev, is_ocean, valid, band_off, band_mask,
-                         rem_src, rem_dst, carve_strength):
+                         rem_src, rem_dst, carve_strength,
+                         open_ocean=None):
     """Full pit resolution: fill + carve + monotonic drainage.
     Returns (elevation, drain_to, surface). Plain-Python (not jitted as a
     unit): the ε-fill dispatches between the pallas/jnp sweep variants at
     trace time, and that flag must never alias through an avals-keyed jit
-    cache — callers trace this inside the fused program anyway."""
-    open_ocean = open_ocean_mask(is_ocean, valid, band_off, band_mask,
-                                 rem_src, rem_dst)
+    cache — callers trace this inside the fused program anyway.
+
+    ``open_ocean``: optional precomputed largest-ocean-component mask.
+    The ocean mask is frozen for the whole composite loop
+    (erosion/composite.py:165), so the initial flood and the 75% re-flood
+    share one components call — it is the most expensive single kernel in
+    the flood."""
+    if open_ocean is None:
+        open_ocean = open_ocean_mask(is_ocean, valid, band_off, band_mask,
+                                     rem_src, rem_dst)
     surface, drain = _epsilon_fill(elev, is_ocean, open_ocean, valid,
                                    band_off, band_mask, rem_src, rem_dst)
     deficit = jnp.where((~is_ocean) & valid,

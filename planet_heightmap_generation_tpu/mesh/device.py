@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -58,15 +60,80 @@ class DeviceGraph:
         return (self.band_off, self.band_mask, self.rem_src, self.rem_dst)
 
 
+# exception-slot bucket (jit signature must not depend on the seed's exact
+# pole-fan/outlier count; 256 covers the ~12 pole edges with huge margin)
+_EXC_BUCKET = 256
+
+
+@partial(jax.jit, static_argnames=("k", "d_bands"))
+def _expand_graph(pos, off16, exc_flat, exc_val, mask_bits, band_bits,
+                  k: int, d_bands: int):
+    """Reconstruct the full adjacency arrays from the packed upload:
+    nbr_idx from int16 offsets (+ exception scatter for the pole fan whose
+    offsets overflow 16 bits), masks from bit-packs, nbr_dist from device
+    positions. One fused program, ~100 ms at 1M vs ~1.5 s of extra host→
+    device transfer over the tunneled backend."""
+    npd = pos.shape[0]
+    idx = jnp.arange(npd, dtype=jnp.int32)[:, None] + off16.astype(jnp.int32)
+    idx = idx.reshape(-1).at[exc_flat].set(exc_val, mode="drop")
+    idx = idx.reshape(npd, k)
+    shifts = jnp.arange(k, dtype=jnp.uint32)
+    nbr_mask = ((mask_bits[:, None] >> shifts) & jnp.uint32(1)) > 0
+    delta = pos[idx] - pos[:, None, :]
+    nbr_dist = jnp.where(nbr_mask,
+                         jnp.sqrt(jnp.sum(delta * delta, axis=-1)),
+                         0.0).astype(jnp.float32)
+    bshifts = jnp.arange(d_bands, dtype=jnp.uint32)
+    band_mask = ((band_bits[:, None] >> bshifts) & jnp.uint32(1)) > 0
+    return idx, nbr_mask, nbr_dist, band_mask
+
+
 def to_device(graph: SphereGraph) -> DeviceGraph:
-    band_off, band_mask, rem_src, rem_dst = graph.banded
+    """Ship the mesh to device in packed form (~35 MB at 1M cells instead
+    of ~117 MB — host→device bandwidth over the tunneled backend is the
+    bottleneck of the per-generate prologue) and expand on device.
+
+    nbr_dist is recomputed on device from the f32 positions (the [NP,K]
+    gather form is only consumed by non-critical paths — the erosion edge
+    lengths come from band_nbr_dist on device already)."""
+    band_off, band_mask_np, rem_src, rem_dst = graph.banded
+    npd = graph.n_padded
+    k = graph.nbr_idx.shape[1]
+    assert k <= 32 and band_mask_np.shape[1] <= 32
+
+    row = np.arange(npd, dtype=np.int64)[:, None]
+    off = graph.nbr_idx.astype(np.int64) - row
+    exc = np.abs(off) > 32000
+    exc_flat = np.flatnonzero(exc)
+    m = len(exc_flat)
+    bucket = _EXC_BUCKET
+    while bucket < m:
+        bucket *= 2
+    exc_val = graph.nbr_idx.reshape(-1)[exc_flat].astype(np.int32)
+    exc_flat = np.concatenate(
+        [exc_flat, np.full(bucket - m, npd * k)]).astype(np.int32)
+    exc_val = np.concatenate([exc_val, np.zeros(bucket - m)]).astype(np.int32)
+    off16 = np.where(exc, 0, off).astype(np.int16)
+
+    mask_bits = np.zeros(npd, np.uint32)
+    for s in range(k):
+        mask_bits |= graph.nbr_mask[:, s].astype(np.uint32) << np.uint32(s)
+    band_bits = np.zeros(npd, np.uint32)
+    for d in range(band_mask_np.shape[1]):
+        band_bits |= band_mask_np[:, d].astype(np.uint32) << np.uint32(d)
+
+    pos = jnp.asarray(graph.pos)
+    idx, nbr_mask, nbr_dist, band_mask = _expand_graph(
+        pos, jnp.asarray(off16), jnp.asarray(exc_flat), jnp.asarray(exc_val),
+        jnp.asarray(mask_bits), jnp.asarray(band_bits),
+        k, band_mask_np.shape[1])
     return DeviceGraph(
-        pos=jnp.asarray(graph.pos),
-        nbr_idx=jnp.asarray(graph.nbr_idx),
-        nbr_mask=jnp.asarray(graph.nbr_mask),
-        nbr_dist=jnp.asarray(graph.nbr_dist),
+        pos=pos,
+        nbr_idx=idx,
+        nbr_mask=nbr_mask,
+        nbr_dist=nbr_dist,
         valid=jnp.asarray(graph.valid),
-        band_mask=jnp.asarray(band_mask),
+        band_mask=band_mask,
         rem_src=jnp.asarray(rem_src),
         rem_dst=jnp.asarray(rem_dst),
         n_cells=graph.n_cells,

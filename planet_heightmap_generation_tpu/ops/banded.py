@@ -717,12 +717,38 @@ def band_bfs_banded(seeds, carried, band_off, band_mask, rem_src, rem_dst,
     return _unflat(dist_out, n), _unflat(tie_out, n), carr_out
 
 
-@partial(jax.jit, static_argnames=("band_off",))
 def connected_components_gated(labels_eq, band_off, band_mask, rem_src,
                                rem_dst):
     """Min-label connected components over edges whose endpoints share the
     same ``labels_eq`` value (banded replacement for ops.graph.
-    connected_components with an equality relation). Returns [N] i32."""
+    connected_components with an equality relation). Returns [N] i32.
+
+    Convergence note: plain per-cell min propagation + pointer jumping is
+    LINEAR in the component diameter on this mesh (measured 505 iterations
+    for the planet-spanning ocean at 1M cells — the min label must crawl
+    along ring boundaries where the jump chains are short-range). Both
+    impls therefore HOOK: each cell scatter-mins its new label into its
+    previous parent's label slot, so when two locally-converged regions
+    touch anywhere, one root adopts the other and the next compression
+    relabels the whole region — O(log) region merges. The pallas impl
+    additionally runs 8 local sweeps per dispatch (same kernel as the BFS).
+    Fixpoint (component-min labels) is schedule-independent, so all paths
+    agree exactly."""
+    from .sweep_pallas import use_pallas
+
+    n = band_mask.shape[0]
+    if use_pallas() and n < (1 << 24):
+        gate = band_gate(labels_eq, band_off, band_mask)
+        rem_ok = rem_gate_eq(labels_eq, rem_src, rem_dst)
+        init = jnp.arange(n, dtype=jnp.float32)
+        member = jnp.ones(n, bool)
+        return _cc_core_pallas(init, member, gate, rem_ok, band_off,
+                               rem_src, rem_dst)
+    return _cc_gated_jnp(labels_eq, band_off, band_mask, rem_src, rem_dst)
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _cc_gated_jnp(labels_eq, band_off, band_mask, rem_src, rem_dst):
     n = band_mask.shape[0]
     gate = band_gate(labels_eq, band_off, band_mask)
     rgate = rem_gate_eq(labels_eq, rem_src, rem_dst)
@@ -741,12 +767,61 @@ def connected_components_gated(labels_eq, band_off, band_mask, rem_src,
         rem_lab = jnp.where(rgate, labels[rem_dst], n)
         best = best.at[rem_src].min(rem_lab, mode="drop")
         new = jnp.minimum(labels, jnp.where(best < n, best, labels))
+        # hook: merge whole regions where their frontiers touched (see
+        # connected_components_gated docstring), then compress twice
+        new = new.at[labels].min(new)
         new = new[new]
         new = new[new]
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
     return labels
+
+
+@partial(jax.jit, static_argnames=("band_off",))
+def _cc_core_pallas(init_lab, member, gate, rem_ok, band_off,
+                    rem_src, rem_dst):
+    """Shared pallas components core: local gated min sweeps (8 per
+    dispatch on the VMEM halo window) + root hooking + 2x compression per
+    iteration. ``init_lab`` [NP] f32 (== NP at non-members), ``gate``
+    [NP,D] gated band masks, ``rem_ok`` [M] gated remainder edges.
+    Labels are f32 cell indices (exact below 2^24). Returns [NP] i32
+    (NP at non-members)."""
+    from .sweep_pallas import BfsSweeper
+
+    npad = gate.shape[0]
+    big = jnp.float32(npad)
+    sw = BfsSweeper(band_off, 1, npad, cap=None)
+    cost = jnp.zeros((npad,), jnp.float32)
+    lab_p, cost_p, bits = sw.prep(init_lab, gate, cost)
+
+    dst_c = jnp.clip(rem_dst, 0, npad - 1)
+    src_p = jnp.where((rem_src < npad) & rem_ok, rem_src, sw.np8)
+    member_p = jnp.pad(member, (0, sw.np8 - npad))
+    inf = jnp.float32(jnp.inf)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        prev, _ = state
+        new, _ = sw.sweep(prev, bits, cost_p)
+        cand = jnp.where(rem_ok, prev[dst_c], inf)
+        new = new.at[src_p].min(cand, mode="drop")
+        # hook into the previous parent's slot (non-members' parent == NP
+        # maps past np8 and drops), then compress twice
+        parent = jnp.where(prev < big, prev,
+                           jnp.float32(sw.np8)).astype(jnp.int32)
+        new = new.at[parent].min(new, mode="drop")
+        idx = jnp.clip(new, 0, npad - 1).astype(jnp.int32)
+        new = jnp.where(member_p, new[idx], new)
+        idx = jnp.clip(new, 0, npad - 1).astype(jnp.int32)
+        new = jnp.where(member_p, new[idx], new)
+        return new, jnp.any(new != prev)
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab_p, jnp.bool_(True)))
+    lab = lab[:npad]
+    return jnp.where(member, lab, big).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("band_off",))

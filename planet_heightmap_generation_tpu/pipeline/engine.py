@@ -548,7 +548,7 @@ class PlanetEngine:
                     stage_error = dict(stage="climate", message=str(e),
                                        stack=_tb.format_exc())
 
-            with timer.stage("Triangle elevations"):
+            with timer.stage("Triangle elevations", sync=lambda: t_elev):
                 t_elev = _triangle_elevations(
                     elevation, jnp.asarray(graph.triangles))
             stress = elev_res.stress
@@ -587,21 +587,28 @@ class PlanetEngine:
                      params, timer, prog, debug):
         prog(70, "Simulating wind patterns…")
         noise_t = tables(seed)
-        with timer.stage("Wind simulation"):
+        # sync lambdas make timing mode attribute climate execution to the
+        # right stage (without them the async dispatches all drain at the
+        # final fetch and every stage reads ~0)
+        with timer.stage("Wind simulation",
+                         sync=lambda: wind["r_continentality"]):
             wind = compute_wind(g, elevation, plate_is_ocean, r_plate, noise_t)
         prog(78, "Computing ocean currents…")
-        with timer.stage("Ocean currents"):
+        with timer.stage("Ocean currents",
+                         sync=lambda: ocean["r_ocean_warmth_winter"]):
             ocean = compute_ocean_currents(g, elevation, wind)
         prog(82, "Computing precipitation…")
-        with timer.stage("Precipitation"):
+        with timer.stage("Precipitation",
+                         sync=lambda: precip["r_precip_winter"]):
             precip = compute_precipitation(
                 g, elevation, wind, ocean,
                 params.precipitation_offset, params.land_coverage)
         prog(86, "Computing temperature…")
-        with timer.stage("Temperature"):
+        with timer.stage("Temperature",
+                         sync=lambda: temp["r_temperature_winter"]):
             temp = compute_temperature(
                 g, elevation, wind, ocean, precip, params.temperature_offset)
-        with timer.stage("Köppen classification"):
+        with timer.stage("Köppen classification", sync=lambda: koppen):
             koppen = classify_koppen(
                 elevation, temp["r_temperature_summer"],
                 temp["r_temperature_winter"], precip["r_precip_summer"],
@@ -844,7 +851,7 @@ class PlanetEngine:
                 climate = self._run_climate(
                     g, elevation, jnp.asarray(plates.is_ocean), w["r_plate"],
                     seed, params, timer, prog, debug)
-            with timer.stage("Triangle elevations"):
+            with timer.stage("Triangle elevations", sync=lambda: t_elev):
                 t_elev = _triangle_elevations(
                     elevation, jnp.asarray(graph.triangles))
             stress = elev_res.stress

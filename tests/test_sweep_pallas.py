@@ -124,3 +124,51 @@ def test_smoothing_matches_jnp(small_graph):
     with pltpu.force_tpu_interpret_mode(), force_pallas():
         b = np.asarray(_smooth_masked_pallas(f2, mask, *gd.bands, 2))
     np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+def test_components_pallas_matches_jnp(small_graph):
+    """Root-hooked components: pallas core == jnp path == scipy, for both
+    the in_set (ocean/land) and gated-equality (plate) variants. The
+    fixpoint (component-min labels) is schedule-independent, so all three
+    agree exactly."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as scipy_cc
+    from planet_heightmap_generation_tpu.erosion.flood import (
+        connected_components_banded, _cc_inset_jnp)
+    from planet_heightmap_generation_tpu.ops.banded import (
+        connected_components_gated, _cc_gated_jnp)
+
+    g, gd = small_graph
+    n = gd.n_padded
+    rng = np.random.default_rng(7)
+    # a few blobby classes via thresholded smooth noise
+    field = rng.standard_normal(n)
+    for _ in range(4):
+        field = field + field[np.asarray(g.nbr_idx)].mean(1)
+    in_set = jnp.asarray((field > 0) & np.asarray(gd.valid))
+
+    a = np.asarray(_cc_inset_jnp(in_set, *gd.bands))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(connected_components_banded(in_set, *gd.bands))
+    np.testing.assert_array_equal(a, b)
+
+    # scipy ground truth on the member subgraph (min-index canonical form)
+    mask = np.asarray(in_set)
+    src = np.repeat(np.arange(n), g.nbr_idx.shape[1])
+    dst = np.asarray(g.nbr_idx).ravel()
+    ok = np.asarray(g.nbr_mask).ravel() & mask[src] & mask[dst]
+    m = coo_matrix((np.ones(ok.sum()), (src[ok], dst[ok])), shape=(n, n))
+    _, lab = scipy_cc(m, directed=False)
+    # canonicalize scipy labels to min member index per component
+    import collections
+    mn = collections.defaultdict(lambda: n)
+    for i in np.flatnonzero(mask):
+        mn[lab[i]] = min(mn[lab[i]], i)
+    expect = np.asarray([mn[lab[i]] if mask[i] else n for i in range(n)])
+    np.testing.assert_array_equal(a, expect)
+
+    classes = jnp.asarray((field * 2).astype(np.int32) % 3)
+    a = np.asarray(_cc_gated_jnp(classes, *gd.bands))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(connected_components_gated(classes, *gd.bands))
+    np.testing.assert_array_equal(a, b)
