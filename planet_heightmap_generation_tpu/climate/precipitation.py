@@ -270,11 +270,97 @@ def _mechanisms2(lat, lon, elev, height_km, is_land, continentality,
     return jnp.maximum(0.0, p).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("band_off", "shadow_hops",
-                                   "windward_hops"))
 def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
                   band_off, band_mask, rem_src, rem_dst,
                   shadow_hops: int, windward_hops: int):
+    """Rain-shadow dispatcher: the pallas directed-sweep kernel on TPU
+    (weights recomputed in VMEM per band — ops/sweep_pallas.ShadowSweeper),
+    the banded jnp loop elsewhere. Hop-synchronous in both, same
+    arithmetic order — results match."""
+    from ..ops.sweep_pallas import use_pallas
+
+    impl = _rain_shadow2_pallas if use_pallas() else _rain_shadow2_jnp
+    return impl(pos, elev, height_km, is_land, wind3d2, wdg2,
+                band_off, band_mask, rem_src, rem_dst,
+                shadow_hops, windward_hops)
+
+
+def _shadow_seeds2(elev, height_km, is_land, wdg2):
+    """[N,2] signed seed field: + windward uplift, − lee shadow on ≥0.8 km
+    slopes (js/precipitation.js:500-516)."""
+    h_scale = jnp.minimum(1.0, (height_km - 0.5) / 2.5)[:, None]
+    seed_ok = (is_land & (elev > 0) & (height_km >= 0.8))[:, None]
+    return jnp.where(
+        seed_ok & (wdg2 > 0), jnp.minimum(1.0, wdg2 * 20) * h_scale,
+        jnp.where(seed_ok & (wdg2 < 0),
+                  -jnp.minimum(1.0, -wdg2 * 18) * h_scale,
+                  0.0)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("band_off", "shadow_hops",
+                                   "windward_hops"))
+def _rain_shadow2_pallas(pos, elev, height_km, is_land, wind3d2, wdg2,
+                         band_off, band_mask, rem_src, rem_dst,
+                         shadow_hops: int, windward_hops: int):
+    from ..ops.sweep_pallas import ShadowSweeper, pack_band_bits
+
+    npad = pos.shape[0]
+    seed2 = _shadow_seeds2(elev, height_km, is_land, wdg2)
+
+    # remainder-edge weights (loop-invariant, [M,4], same as the jnp path)
+    up_wr = _upwind_rem_w(pos, wind3d2, rem_src, rem_dst, cell_gate=is_land)
+    src = jnp.clip(rem_src, 0, npad - 1)
+    dn_r = jnp.einsum("msc,mc->ms", wind3d2[src], pos[rem_dst] - pos[src])
+    dn_wr = jnp.where(((rem_src < npad) & is_land[src])[:, None]
+                      & (dn_r > 0), dn_r, 0.0)
+    w4r = jnp.concatenate([up_wr, dn_wr], axis=1)            # [M,4]
+
+    s_dec = 1 - 0.15 ** (1.0 / shadow_hops)
+    w_dec = 1 - 0.25 ** (1.0 / windward_hops)
+    sign4 = np.asarray([-1.0, -1.0, 1.0, 1.0], np.float32)
+    cap4 = np.asarray([shadow_hops, shadow_hops,
+                       windward_hops, windward_hops], np.int32)
+    # retention in the jnp path is computed as 1 − f32(decay); reproduce
+    # the same rounding so the kernels agree bitwise
+    retain4 = 1.0 - np.asarray([s_dec, s_dec, w_dec, w_dec], np.float32)
+
+    sw = ShadowSweeper(band_off, npad, float(retain4[0]), float(retain4[2]))
+    f0 = jnp.concatenate([seed2, seed2], axis=1)             # [N,4]
+    state = sw.pad(f0.T)                                      # [4,NP8]
+    aux = sw.pad(jnp.concatenate(
+        [pos.T, wind3d2[:, 0].T, wind3d2[:, 1].T], axis=0))   # [9,NP8]
+    bits = sw.pad(pack_band_bits(band_mask).reshape(1, npad))
+    land_p = sw.pad(is_land.astype(jnp.float32).reshape(1, npad))
+    src_ok = rem_src < npad
+    src_p = jnp.where(src_ok, rem_src, sw.np8)
+    w4r_t = w4r.T                                             # [4,M]
+    sign_c = jnp.asarray(sign4)[:, None]
+
+    def body(i, state):
+        # remainder contributions on pre-hop values (the kernel reads
+        # pre-hop state too — Jacobi, matching the jnp body)
+        vals_r = state[:, jnp.clip(rem_dst, 0, npad - 1)]     # [4,M]
+        w_r = jnp.where(vals_r * sign_c > 0, w4r_t, 0.0)
+        rws = jnp.zeros((4, sw.np8), jnp.float32).at[:, src_p].add(
+            w_r, mode="drop")
+        rwa = jnp.zeros((4, sw.np8), jnp.float32).at[:, src_p].add(
+            w_r * vals_r, mode="drop")
+        new = sw.sweep(state, aux, bits, land_p, rws, rwa)
+        allowed = (i < jnp.asarray(cap4))[:, None]
+        return jnp.where(allowed, new, state)
+
+    f = jax.lax.fori_loop(0, max(shadow_hops, windward_hops), body, state)
+    f = f[:, :npad].T                                         # [N,4]
+    shadow2 = jnp.minimum(f[:, :2], seed2)
+    windward2 = jnp.maximum(f[:, 2:], seed2)
+    return jnp.where(shadow2 < 0, shadow2, windward2).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("band_off", "shadow_hops",
+                                   "windward_hops"))
+def _rain_shadow2_jnp(pos, elev, height_km, is_land, wind3d2, wdg2,
+                      band_off, band_mask, rem_src, rem_dst,
+                      shadow_hops: int, windward_hops: int):
     """Rain-shadow diagnostic for both seasons: seed on ≥0.8 km slopes,
     propagate shadow downwind / windward rain upwind
     (js/precipitation.js:496-607). {shadow, windward} × {summer, winter}

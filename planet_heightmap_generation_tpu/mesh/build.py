@@ -129,6 +129,7 @@ class SphereGraph:
     pole_id: int                 # index of the stitched pole cell (= N)
     _t_pos: Optional[np.ndarray] = None
     _banded: Optional[tuple] = None
+    _banded_packed: Optional[tuple] = ()   # () = not yet computed
 
     @property
     def k_max(self) -> int:
@@ -147,11 +148,36 @@ class SphereGraph:
     @property
     def banded(self) -> tuple:
         """(band_off, band_mask, rem_src, rem_dst) — the banded adjacency
-        (see BAND_COUNT). Computed lazily and cached; ~O(N·K) numpy."""
+        (see BAND_COUNT). Computed lazily and cached; derived from the
+        packed form when the native classifier is available."""
         if self._banded is None:
-            object.__setattr__(
-                self, "_banded", build_banded(self.nbr_idx, self.nbr_mask))
+            p = self.banded_packed
+            if p is not None:
+                band_off, band_bits = p[0], p[1]
+                d = len(band_off)
+                mask = ((band_bits[:, None]
+                         >> np.arange(d, dtype=np.uint32)) & 1).astype(bool)
+                object.__setattr__(
+                    self, "_banded", (band_off, mask, p[6], p[7]))
+            else:
+                object.__setattr__(
+                    self, "_banded",
+                    build_banded(self.nbr_idx, self.nbr_mask))
         return self._banded
+
+    @property
+    def banded_packed(self):
+        """Native single-pass banded classification + upload packing:
+        (band_off, band_bits u32 [NP], mask_bits u32 [NP], off16 [NP,K],
+        exc_flat, exc_val, rem_src, rem_dst) — or None without the native
+        library. ~1.4 s of numpy at 1M collapses to ~40 ms of C++; the
+        device upload consumes the packed forms directly
+        (mesh/device.py:to_device)."""
+        if self._banded_packed == ():
+            object.__setattr__(
+                self, "_banded_packed",
+                build_banded_packed(self.nbr_idx, self.nbr_mask))
+        return self._banded_packed
 
     @property
     def avg_edge(self) -> float:
@@ -324,6 +350,84 @@ def build_sphere(
     )
 
 
+def _band_off_for(nbr_idx: np.ndarray, nbr_mask: np.ndarray, n_bands: int,
+                  off_all=None) -> np.ndarray:
+    """The ``n_bands`` most common signed index offsets, sorted. The
+    offset tuple is STATIC in the jitted kernels, so it must be identical
+    for every seed at a given mesh size (seed sweeps share one
+    executable — cached per (npad, n_bands); jitter shifts a few edges
+    between bands and remainder but the dominant offsets are
+    structural)."""
+    npad = nbr_idx.shape[0]
+    cache_key = (npad, n_bands)
+    band_off = _BAND_OFF_CACHE.get(cache_key)
+    if band_off is None:
+        if off_all is None:
+            i = np.arange(npad, dtype=np.int64)[:, None]
+            off_all = nbr_idx.astype(np.int64) - i
+        offs, counts = np.unique(off_all[nbr_mask], return_counts=True)
+        # select ± pairs together (the symmetric graph gives +o and -o
+        # equal counts; a cutoff tie must not split a pair)
+        pos_sel = offs > 0
+        pos_offs, pos_counts = offs[pos_sel], counts[pos_sel]
+        order = np.argsort(-pos_counts, kind="stable")
+        chosen = pos_offs[order][: n_bands // 2]
+        band_off = np.sort(np.concatenate([chosen, -chosen]))
+        _BAND_OFF_CACHE[cache_key] = band_off
+    return band_off
+
+
+def build_banded_packed(nbr_idx: np.ndarray, nbr_mask: np.ndarray,
+                        n_bands: int = BAND_COUNT):
+    """Native single-pass banded classification + upload packing.
+
+    Returns ``(band_off tuple, band_bits u32 [NP], mask_bits u32 [NP],
+    off16 i16 [NP,K], exc_flat i32, exc_val i32, rem_src i32, rem_dst
+    i32)`` — band/slot bit semantics and remainder order/bucketing are
+    IDENTICAL to :func:`build_banded` + the former numpy packing in
+    mesh/device.py (row-major edge order; rem bucket = max(1024, NP//16)
+    doubling, padded with src=NP). Returns None when the native library
+    is unavailable (callers fall back to the numpy path)."""
+    import ctypes
+
+    from ..native import get_mesh_build
+    native = get_mesh_build()
+    if native is None or len(native) < 4 or native[3] is None:
+        return None
+    npad, k = nbr_idx.shape
+    band_off = _band_off_for(nbr_idx, nbr_mask, n_bands)
+    boff32 = np.ascontiguousarray(band_off, np.int32)
+    idx_c = np.ascontiguousarray(nbr_idx, np.int32)
+    mask_c = np.ascontiguousarray(nbr_mask, np.uint8)
+    band_bits = np.empty(npad, np.uint32)
+    mask_bits = np.empty(npad, np.uint32)
+    off16 = np.empty((npad, k), np.int16)
+    exc_cap = 4096
+    rem_cap = max(1024, npad // 16)
+    while True:
+        exc_flat = np.empty(exc_cap, np.int32)
+        exc_val = np.empty(exc_cap, np.int32)
+        rem_src = np.empty(rem_cap, np.int32)
+        rem_dst = np.empty(rem_cap, np.int32)
+        exc_n = ctypes.c_int64(0)
+        rem_n = ctypes.c_int64(0)
+        rc = native[3](idx_c, mask_c, npad, k, boff32, len(band_off),
+                       band_bits, mask_bits, off16.reshape(-1),
+                       exc_flat, exc_val, exc_cap,
+                       rem_src, rem_dst, rem_cap,
+                       ctypes.byref(exc_n), ctypes.byref(rem_n))
+        if rc == 0:
+            break
+        exc_cap *= 2
+        rem_cap *= 2
+    m = int(rem_n.value)
+    rem_src[m:] = npad
+    rem_dst[m:] = 0
+    e = int(exc_n.value)
+    return (tuple(int(o) for o in band_off), band_bits, mask_bits, off16,
+            exc_flat[:e].copy(), exc_val[:e].copy(), rem_src, rem_dst)
+
+
 def build_banded(nbr_idx: np.ndarray, nbr_mask: np.ndarray,
                  n_bands: int = BAND_COUNT):
     """Banded re-expression of the padded adjacency.
@@ -347,22 +451,7 @@ def build_banded(nbr_idx: np.ndarray, nbr_mask: np.ndarray,
     npad = nbr_idx.shape[0]
     i = np.arange(npad, dtype=np.int64)[:, None]
     off_all = nbr_idx.astype(np.int64) - i
-    # The offset tuple is STATIC in the jitted kernels, so it must be
-    # identical for every seed at a given mesh size (seed sweeps share one
-    # executable — cached per (npad, n_bands); jitter shifts a few edges
-    # between bands and remainder but the dominant offsets are structural).
-    cache_key = (npad, n_bands)
-    band_off = _BAND_OFF_CACHE.get(cache_key)
-    if band_off is None:
-        offs, counts = np.unique(off_all[nbr_mask], return_counts=True)
-        # select ± pairs together (the symmetric graph gives +o and -o
-        # equal counts; a cutoff tie must not split a pair)
-        pos_sel = offs > 0
-        pos_offs, pos_counts = offs[pos_sel], counts[pos_sel]
-        order = np.argsort(-pos_counts, kind="stable")
-        chosen = pos_offs[order][: n_bands // 2]
-        band_off = np.sort(np.concatenate([chosen, -chosen]))
-        _BAND_OFF_CACHE[cache_key] = band_off
+    band_off = _band_off_for(nbr_idx, nbr_mask, n_bands, off_all)
 
     pos_in = np.clip(np.searchsorted(band_off, off_all), 0, len(band_off) - 1)
     hit = nbr_mask & (band_off[pos_in] == off_all)

@@ -96,37 +96,47 @@ def to_device(graph: SphereGraph) -> DeviceGraph:
     nbr_dist is recomputed on device from the f32 positions (the [NP,K]
     gather form is only consumed by non-critical paths — the erosion edge
     lengths come from band_nbr_dist on device already)."""
-    band_off, band_mask_np, rem_src, rem_dst = graph.banded
     npd = graph.n_padded
     k = graph.nbr_idx.shape[1]
-    assert k <= 32 and band_mask_np.shape[1] <= 32
 
-    row = np.arange(npd, dtype=np.int64)[:, None]
-    off = graph.nbr_idx.astype(np.int64) - row
-    exc = np.abs(off) > 32000
-    exc_flat = np.flatnonzero(exc)
-    m = len(exc_flat)
+    packed = graph.banded_packed
+    if packed is not None:
+        # native single-pass classification + packing (mesh/build.py)
+        band_off, band_bits, mask_bits, off16, exc_f, exc_v, \
+            rem_src, rem_dst = packed
+        n_bands = len(band_off)
+    else:
+        band_off, band_mask_np, rem_src, rem_dst = graph.banded
+        n_bands = band_mask_np.shape[1]
+        row = np.arange(npd, dtype=np.int64)[:, None]
+        off = graph.nbr_idx.astype(np.int64) - row
+        exc = np.abs(off) > 32000
+        exc_f = np.flatnonzero(exc).astype(np.int64)
+        exc_v = graph.nbr_idx.reshape(-1)[exc_f].astype(np.int32)
+        off16 = np.where(exc, 0, off).astype(np.int16)
+        mask_bits = np.zeros(npd, np.uint32)
+        for s in range(k):
+            mask_bits |= graph.nbr_mask[:, s].astype(np.uint32) \
+                << np.uint32(s)
+        band_bits = np.zeros(npd, np.uint32)
+        for d in range(n_bands):
+            band_bits |= band_mask_np[:, d].astype(np.uint32) \
+                << np.uint32(d)
+    assert k <= 32 and n_bands <= 32
+
+    m = len(exc_f)
     bucket = _EXC_BUCKET
     while bucket < m:
         bucket *= 2
-    exc_val = graph.nbr_idx.reshape(-1)[exc_flat].astype(np.int32)
     exc_flat = np.concatenate(
-        [exc_flat, np.full(bucket - m, npd * k)]).astype(np.int32)
-    exc_val = np.concatenate([exc_val, np.zeros(bucket - m)]).astype(np.int32)
-    off16 = np.where(exc, 0, off).astype(np.int16)
-
-    mask_bits = np.zeros(npd, np.uint32)
-    for s in range(k):
-        mask_bits |= graph.nbr_mask[:, s].astype(np.uint32) << np.uint32(s)
-    band_bits = np.zeros(npd, np.uint32)
-    for d in range(band_mask_np.shape[1]):
-        band_bits |= band_mask_np[:, d].astype(np.uint32) << np.uint32(d)
+        [exc_f, np.full(bucket - m, npd * k)]).astype(np.int32)
+    exc_val = np.concatenate([exc_v, np.zeros(bucket - m)]).astype(np.int32)
 
     pos = jnp.asarray(graph.pos)
     idx, nbr_mask, nbr_dist, band_mask = _expand_graph(
         pos, jnp.asarray(off16), jnp.asarray(exc_flat), jnp.asarray(exc_val),
         jnp.asarray(mask_bits), jnp.asarray(band_bits),
-        k, band_mask_np.shape[1])
+        k, n_bands)
     return DeviceGraph(
         pos=pos,
         nbr_idx=idx,

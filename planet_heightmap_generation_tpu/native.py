@@ -150,5 +150,28 @@ def get_mesh_build():
             ndpointer(np.float32, flags="C_CONTIGUOUS"),  # nbr_dist
             ndpointer(np.int32, flags="C_CONTIGUOUS"),    # deg
         ]
-        _MESH_LIB = (dl, adj, pm)
+        try:
+            bp = lib.banded_pack
+            bp.restype = ctypes.c_int
+            bp.argtypes = [
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # nbr_idx
+                ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # nbr_mask
+                ctypes.c_int64, ctypes.c_int32,
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # band_off
+                ctypes.c_int32,
+                ndpointer(np.uint32, flags="C_CONTIGUOUS"),  # band_bits
+                ndpointer(np.uint32, flags="C_CONTIGUOUS"),  # mask_bits
+                ndpointer(np.int16, flags="C_CONTIGUOUS"),   # off16
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # exc_flat
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # exc_val
+                ctypes.c_int64,
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # rem_src
+                ndpointer(np.int32, flags="C_CONTIGUOUS"),   # rem_dst
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),              # exc_n
+                ctypes.POINTER(ctypes.c_int64),              # rem_n
+            ]
+        except AttributeError:                               # stale .so
+            bp = None
+        _MESH_LIB = (dl, adj, pm, bp)
         return _MESH_LIB

@@ -99,12 +99,25 @@ def pack_band_bits(band_mask) -> jax.Array:
                    dtype=jnp.uint32)
 
 
-def _halo_for(band_off) -> int:
-    """Halo blocks per side: H·BLOCK must cover max |offset| + one lane
+def _halo_for(band_off, block: int = BLOCK) -> int:
+    """Halo blocks per side: H·block must cover max |offset| + one lane
     row (the shift slicing reads rows a..a+rows+1 of the window)."""
     m = max(abs(int(o)) for o in band_off)
-    h = -(-(m + _LANE) // BLOCK)
+    h = -(-(m + _LANE) // block)
     return h
+
+
+def _halo_for_inner(band_off, inner: int, f: int) -> int:
+    """Halo sized so ``inner`` sweeps can actually propagate ``inner``
+    hops before hitting stale halo: one mesh hop moves ~max|offset| cells
+    along the spiral, so with the minimal halo (1 block at 1M, where
+    max|off| ≈ 3571) the wavefront crosses at most ~BLOCK/max|off| ≈ 2.3
+    hops per dispatch and the remaining inner sweeps burn VPU for nothing.
+    Cover inner hops, capped by a ~4 MB VMEM window budget per input."""
+    m = max(abs(int(o)) for o in band_off)
+    want = -(-(inner * m + _LANE) // BLOCK)
+    vmem_cap = max(1, int((4 * 2 ** 20 / (f * BLOCK * 4) - 1) // 2))
+    return max(_halo_for(band_off), min(want, vmem_cap, 6))
 
 
 def _pad_cols(x2, np8):
@@ -230,12 +243,12 @@ def _make_flood_kernel(offs, h: int, big: float, eps: float, inner: int):
     return kernel
 
 
-def _specs(f: int, g: int, h: int):
+def _specs(f: int, g: int, h: int, block: int = BLOCK):
     """2h+1 clamped halo blocks (h=0 → single center block)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bs = (f, BLOCK)
+    bs = (f, block)
     specs = []
     for k in range(-h, h + 1):
         if k == 0:
@@ -283,7 +296,8 @@ class BfsSweeper:
         self.inner = inner
         self.np8 = -(-n // BLOCK) * BLOCK
         self.g = self.np8 // BLOCK
-        self.h = _halo_for(band_off)
+        self.h = min(_halo_for_inner(band_off, inner, f),
+                     max(1, self.g - 1))
         self._kernel = _make_bfs_kernel(self.band_off, self.h, inner, cap)
 
     def prep(self, dist_flat, band_mask, cost_flat):
@@ -324,7 +338,9 @@ class FloodSweeper:
         self.inner = inner
         self.np8 = -(-n // BLOCK) * BLOCK
         self.g = self.np8 // BLOCK
-        self.h = _halo_for(band_off)
+        # two halo'd inputs (surface + inland) -> f=2 for the VMEM budget
+        self.h = min(_halo_for_inner(band_off, inner, 2),
+                     max(1, self.g - 1))
         self._kernel = _make_flood_kernel(self.band_off, self.h, big, eps,
                                           inner)
 
@@ -387,15 +403,15 @@ def _make_smooth_kernel(offs, h: int, masked: bool):
     return kernel
 
 
-def _call_noflag(kernel, n_out_f, g, in_specs, args):
+def _call_noflag(kernel, n_out_f, g, in_specs, args, block: int = BLOCK):
     """pallas_call variant without the change-flag output (fixed-pass
     smoothing loops need no early exit)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    out_specs = pl.BlockSpec((n_out_f, BLOCK), lambda i: (0, i),
+    out_specs = pl.BlockSpec((n_out_f, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_out_f, g * BLOCK), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((n_out_f, g * block), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -403,6 +419,111 @@ def _call_noflag(kernel, n_out_f, g, in_specs, args):
         out_specs=out_specs,
         out_shape=out_shape,
     )(*args)
+
+
+def _make_shadow_kernel(offs, h: int, retain_s: float, retain_w: float):
+    """Rain-shadow directed sweep (climate/precipitation.py _rain_shadow2):
+    state = [4,N] {shadow, windward} x {summer, winter}; per band the
+    wind-alignment weights are recomputed IN VMEM from the shifted
+    positions/winds (the materialized [N,D,4] weight stack is 512 MB at 1M
+    and the lazy jnp recompute is ~2.4 s of XLA intermediates). One sweep
+    per dispatch — the propagation is hop-counted (per-hop decay), so
+    inner-sweep batching would change semantics.
+
+    Ref layout: (2h+1) state blocks [4,B], (2h+1) aux blocks [9,B]
+    (pos xyz, wind_summer xyz, wind_winter xyz), bits [1,B], land [1,B],
+    rem_wsum [4,B], rem_wacc [4,B] (remainder contributions scattered
+    outside per hop). The per-column hop cap (i < cap4) is applied by the
+    caller on the kernel output. Columns 0-1 are shadow (sign −, retain_s),
+    2-3 windward (sign +, retain_w) — built in-kernel from an iota
+    (pallas kernels cannot capture constant arrays)."""
+
+    def kernel(*refs):
+        col = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+        s4 = jnp.where(col < 2, -1.0, 1.0)
+        r4 = jnp.where(col < 2, jnp.float32(retain_s),
+                       jnp.float32(retain_w))
+        k = 2 * h + 1
+        s_refs = refs[:k]
+        a_refs = refs[k:2 * k]
+        bits_ref, land_ref, rws_ref, rwa_ref, out_ref = refs[2 * k:]
+        f, b = s_refs[h].shape
+        rows = b // _LANE
+        sw = _window(s_refs, f)
+        aw = _window(a_refs, 9)
+        cur = s_refs[h][:].reshape(f, rows, _LANE)
+        aux_c = a_refs[h][:].reshape(9, rows, _LANE)
+        pos_c = aux_c[:3]
+        wind_c = aux_c[3:]
+        bit = bits_ref[:].reshape(1, rows, _LANE)
+        land = land_ref[:].reshape(1, rows, _LANE) > 0
+        wsum = jnp.zeros_like(cur)
+        wacc = jnp.zeros_like(cur)
+        for d, off in enumerate(offs):
+            sh_s = _shifted(sw, h * b + off, rows)
+            sh_a = _shifted(aw, h * b + off, rows)
+            delta = sh_a[:3] - pos_c
+            # up: wind AT the neighbor toward the receiver; dn: wind AT the
+            # receiver toward the neighbor (same reductions, same order, as
+            # the jnp einsums)
+            up0 = -(sh_a[3] * delta[0] + sh_a[4] * delta[1]
+                    + sh_a[5] * delta[2])
+            up1 = -(sh_a[6] * delta[0] + sh_a[7] * delta[1]
+                    + sh_a[8] * delta[2])
+            dn0 = (wind_c[0] * delta[0] + wind_c[1] * delta[1]
+                   + wind_c[2] * delta[2])
+            dn1 = (wind_c[3] * delta[0] + wind_c[4] * delta[1]
+                   + wind_c[5] * delta[2])
+            w4 = jnp.stack([up0, up1, dn0, dn1])
+            m = (((bit >> np.uint32(d)) & np.uint32(1)) > 0) & land
+            w4 = jnp.where(m & (w4 > 0), w4, 0.0)
+            w = jnp.where(sh_s * s4 > 0, w4, 0.0)
+            wsum = wsum + w
+            wacc = wacc + w * sh_s
+        wsum = wsum + rws_ref[:].reshape(f, rows, _LANE)
+        wacc = wacc + rwa_ref[:].reshape(f, rows, _LANE)
+        carried = wacc / jnp.maximum(wsum, 1e-20) * r4
+        ext = jnp.where(s4 < 0, jnp.minimum(cur, carried),
+                        jnp.maximum(cur, carried))
+        out_ref[:] = jnp.where(wsum > 0, ext, cur).reshape(f, b)
+    return kernel
+
+
+class ShadowSweeper:
+    """Rain-shadow sweep for one (band_off, n) family. State [4, NP8]
+    padded; aux (pos+winds) is loop-invariant.
+
+    Uses a SMALLER block than the other sweepers: the kernel's per-band
+    temporaries span 13 halo'd field rows (4 state + 9 aux), and at
+    BLOCK=8192 the Mosaic scoped-VMEM stack peaks at ~25 MB against the
+    16 MB limit (compile error at 1M). 2048-cell blocks keep the same
+    total work with a ~6 MB peak."""
+
+    BLOCK_S = 2048
+
+    def __init__(self, band_off, n: int, retain_s: float, retain_w: float):
+        self.band_off = tuple(band_off)
+        self.n = n
+        bs = self.BLOCK_S
+        self.np8 = -(-n // bs) * bs
+        self.g = self.np8 // bs
+        self.h = min(_halo_for(band_off, bs), max(1, self.g - 1))
+        self._kernel = _make_shadow_kernel(self.band_off, self.h,
+                                           float(retain_s), float(retain_w))
+
+    def pad(self, x2):
+        return _pad_cols(x2, self.np8)
+
+    def sweep(self, state_p, aux_p, bits_p, land_p, rws_p, rwa_p):
+        k = 2 * self.h + 1
+        bs = self.BLOCK_S
+        specs = (_specs(4, self.g, self.h, bs) + _specs(9, self.g, self.h, bs)
+                 + _specs(1, self.g, 0, bs) + _specs(1, self.g, 0, bs)
+                 + _specs(4, self.g, 0, bs) + _specs(4, self.g, 0, bs))
+        args = ([state_p] * k + [aux_p] * k
+                + [bits_p, land_p, rws_p, rwa_p])
+        return _call_noflag(self._kernel, 4, self.g, specs, tuple(args),
+                            block=bs)
 
 
 class SmoothSweeper:
