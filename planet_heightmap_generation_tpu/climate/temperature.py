@@ -23,13 +23,25 @@ DEG = math.pi / 180.0
 T_MIN, T_MAX = -45.0, 45.0
 
 
-@partial(jax.jit, static_argnames=("band_off", "passes"))
 def _diffuse_ocean_warmth(warmth2, is_land, plate_cont,
                           band_off, band_mask, rem_src, rem_dst,
                           passes: int):
     """js/temperature.js:19-54 — all cells diffuse except deep continental
     interiors (plate continentality ≥ 0.95). Both seasons diffuse stacked
-    as banded roll sums ([N,2] per pass)."""
+    as banded roll sums ([N,2] per pass); ~70 passes at 1M, so the TPU
+    path rides the pallas smoothing kernel with a per-pass freeze
+    restore (frozen cells keep their value but still contribute)."""
+    from ..ops.sweep_pallas import use_pallas
+
+    impl = _diffuse_warmth_pallas if use_pallas() else _diffuse_warmth_jnp
+    return impl(warmth2, is_land, plate_cont, band_off, band_mask,
+                rem_src, rem_dst, passes)
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _diffuse_warmth_jnp(warmth2, is_land, plate_cont,
+                        band_off, band_mask, rem_src, rem_dst,
+                        passes: int):
     field = jnp.where((~is_land)[:, None], warmth2, 0.0).astype(jnp.float32)
     frozen = (plate_cont >= 0.95)[:, None]
     c = (1 + banded_count(band_mask, rem_src, dtype=jnp.float32))[:, None]
@@ -42,6 +54,34 @@ def _diffuse_ocean_warmth(warmth2, is_land, plate_cont,
         return jnp.where(frozen, f, s / c)
 
     return jax.lax.fori_loop(0, passes, body, field)
+
+
+@partial(jax.jit, static_argnames=("band_off", "passes"))
+def _diffuse_warmth_pallas(warmth2, is_land, plate_cont,
+                           band_off, band_mask, rem_src, rem_dst,
+                           passes: int):
+    from ..ops.sweep_pallas import SmoothSweeper, pack_band_bits
+    from ..ops.banded import _smooth_rem_setup
+
+    n = band_mask.shape[0]
+    field = jnp.where((~is_land)[:, None], warmth2, 0.0).astype(jnp.float32)
+    frozen = (plate_cont >= 0.95)
+    sw = SmoothSweeper(band_off, 2, n, masked=False)
+    deg = banded_count(band_mask, rem_src, dtype=jnp.float32)
+    inv = sw.pad((1.0 / (deg + 1.0))[None, :])
+    bits = sw.pad(pack_band_bits(band_mask).reshape(1, n))
+    fp = sw.pad(field.T)
+    frozen_p = sw.pad(frozen[None, :])
+    real, src, dst = _smooth_rem_setup(rem_src, rem_dst, n, sw.np8)
+
+    def body(_, fp):
+        rem = jnp.zeros((2, sw.np8), jnp.float32).at[:, src].add(
+            jnp.where(real, fp[:, dst], 0.0), mode="drop")
+        new = sw.sweep(fp, None, bits, rem, inv)
+        return jnp.where(frozen_p > 0, fp, new)
+
+    fp = jax.lax.fori_loop(0, passes, body, fp)
+    return fp[:, :n].T.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("is_summer",))

@@ -206,3 +206,25 @@ def test_rain_shadow_pallas_matches_jnp(small_graph):
     # the sign structure (shadow vs windward decision) must agree exactly
     np.testing.assert_array_equal(np.sign(np.round(a * 1e4)),
                                   np.sign(np.round(b * 1e4)))
+
+
+def test_diffuse_warmth_pallas_matches_jnp(small_graph):
+    """Freeze-restore warmth diffusion: pallas smoother + per-pass frozen
+    select == the jnp banded loop (within the same mul-by-inverse vs
+    divide tolerance as the plain smoothing kernels)."""
+    from planet_heightmap_generation_tpu.climate.temperature import (
+        _diffuse_warmth_jnp, _diffuse_warmth_pallas)
+
+    g, gd = small_graph
+    n = gd.n_padded
+    rng = np.random.default_rng(13)
+    warmth2 = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    is_land = jnp.asarray(rng.random(n) < 0.35) & gd.valid
+    p_cont = jnp.asarray(rng.random(n).astype(np.float32))
+
+    a = np.asarray(_diffuse_warmth_jnp(warmth2, is_land, p_cont,
+                                       *gd.bands, 5))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_diffuse_warmth_pallas(warmth2, is_land, p_cont,
+                                              *gd.bands, 5))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

@@ -62,6 +62,12 @@ def main():
     for name in ("_blend_collisions", "_main_assembly", "_coastal_roughening",
                  "_island_arcs", "_plate_reps", "_stress_p97"):
         wrap(A, name)
+    # assemble.py imports these into ITS namespace — wrap there, else their
+    # cost lands on the next wrapped call
+    for name in ("find_collisions", "propagate_stress", "hotspot_uplift",
+                 "carry_bfs_banded", "bfs_hops_banded"):
+        if hasattr(A, name):
+            wrap(A, name, f"A.{name}")
     for name in ("find_collisions", "propagate_stress"):
         wrap(C, name)
     wrap(H, "hotspot_uplift")
