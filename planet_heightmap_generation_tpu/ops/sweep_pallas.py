@@ -113,10 +113,15 @@ def _halo_for_inner(band_off, inner: int, f: int) -> int:
     along the spiral, so with the minimal halo (1 block at 1M, where
     max|off| ≈ 3571) the wavefront crosses at most ~BLOCK/max|off| ≈ 2.3
     hops per dispatch and the remaining inner sweeps burn VPU for nothing.
-    Cover inner hops, capped by a ~4 MB VMEM window budget per input."""
+
+    ``f`` counts the HALO'D field rows (a kernel with two halo'd input
+    arrays passes their sum). The window budget is 1.6 MB: Mosaic's
+    scoped-VMEM stack peaks at ~8× the window bytes against a hard 16 MB
+    limit — measured at 4M cells, f=5: h=6 (2.1 MB window) fails the
+    compile at 17.0 MB, h=4 (1.5 MB) fits."""
     m = max(abs(int(o)) for o in band_off)
     want = -(-(inner * m + _LANE) // BLOCK)
-    vmem_cap = max(1, int((4 * 2 ** 20 / (f * BLOCK * 4) - 1) // 2))
+    vmem_cap = max(1, int((1.6 * 2 ** 20 / (f * BLOCK * 4) - 1) // 2))
     return max(_halo_for(band_off), min(want, vmem_cap, 6))
 
 
@@ -338,8 +343,9 @@ class FloodSweeper:
         self.inner = inner
         self.np8 = -(-n // BLOCK) * BLOCK
         self.g = self.np8 // BLOCK
-        # two halo'd inputs (surface + inland) -> f=2 for the VMEM budget
-        self.h = min(_halo_for_inner(band_off, inner, 2),
+        # two halo'd single-field inputs (surface + inland) -> 4 halo'd
+        # rows total for the VMEM budget
+        self.h = min(_halo_for_inner(band_off, inner, 4),
                      max(1, self.g - 1))
         self._kernel = _make_flood_kernel(self.band_off, self.h, big, eps,
                                           inner)
