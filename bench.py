@@ -252,8 +252,11 @@ def main():
     # rung needs a minimum remaining-budget floor (rough cache-hit cold
     # estimate: deserialize + one run); a failed rung is logged and
     # SKIPPED, not fatal.
+    # The 1M north star goes FIRST: even on a cache hit, shipping +
+    # deserializing one fused executable over the tunnel is minutes, and
+    # two cold rungs don't fit the 540 s budget before it.
     floors = {"d": 30, "4": 120, "5": 150, "2": 40, "3": 60, "1": 20}
-    for cfg in ("d", "4", "2", "3", "1", "5"):
+    for cfg in ("4", "d", "2", "3", "1", "5"):
         if _remaining() < floors[cfg]:
             print(f"[bench] skipping config {cfg}: "
                   f"{_remaining():.0f}s left < {floors[cfg]}s floor",
