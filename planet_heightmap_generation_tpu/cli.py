@@ -61,6 +61,11 @@ def _params_from_args(args) -> GenerationParams:
 
 
 def _save_result(result, path: str):
+    if result.error is not None:
+        # the engine degrades to terrain-only on a climate stage error;
+        # surface it loudly instead of silently saving a partial planet
+        print(f"error: stage failed: {result.error}", file=sys.stderr)
+        raise SystemExit(3)
     p = result.params
     out = dict(
         elevation=np.asarray(result.elevation)[: result.graph.n_cells],

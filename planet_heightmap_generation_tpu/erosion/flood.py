@@ -43,18 +43,28 @@ EPS = 1e-6  # reference uses 1e-7; promoted one decade so the increment
             # survives float32 rounding at elevations ~0.5
 
 
-@partial(jax.jit, static_argnames=("band_off",))
 def open_ocean_mask(is_ocean, valid, band_off, band_mask, rem_src, rem_dst):
-    """Largest connected ocean component (js/terrain-post.js:64-94)."""
+    """Largest connected ocean component (js/terrain-post.js:64-94).
+
+    NOT jitted: connected_components_banded dispatches pallas-vs-jnp at
+    plain-Python level, and a jit here would bake that choice into an
+    avals-only cache key — a staged TPU trace would then alias its
+    pallas-containing jaxpr into the sharded/no-pallas programs (the same
+    hazard _epsilon_fill documents). The callees are individually jitted."""
     labels = connected_components_banded(
         is_ocean & valid, band_off, band_mask, rem_src, rem_dst)
-    n = band_mask.shape[0]
-    labels = jnp.where(is_ocean & valid, labels, n)
+    return _largest_component_mask(is_ocean & valid, labels)
+
+
+@jax.jit
+def _largest_component_mask(in_set, labels):
+    n = in_set.shape[0]
+    labels = jnp.where(in_set, labels, n)
     sizes = jax.ops.segment_sum(
-        (is_ocean & valid).astype(jnp.int32), labels, num_segments=n + 1)
+        in_set.astype(jnp.int32), labels, num_segments=n + 1)
     sizes = sizes.at[n].set(0)
     main = jnp.argmax(sizes)
-    return is_ocean & valid & (labels == main)
+    return in_set & (labels == main)
 
 
 def connected_components_banded(in_set, band_off, band_mask, rem_src,
