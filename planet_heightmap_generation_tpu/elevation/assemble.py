@@ -155,6 +155,43 @@ def _stress_p97(stress, valid):
     return jnp.where(out < 0.01, 1.0, out)
 
 
+def base_blend(dist_mountain, dist_ocean, dist_coastline, sf, eps=1e-3):
+    """Harmonic-mean base-elevation blend (js/elevation.js:638-655):
+    ``(1/a − 1/b) / (1/a + 1/b + 1/c) · BASE_SCALE`` with the mountain
+    distance stretched by the subduction asymmetry
+    ``a = d_mtn · (1 + (sf − 0.5)·0.8)``; cells with neither a mountain
+    nor an ocean field default to 0.1·BASE_SCALE. Extracted so the
+    reference-golden tests can pin the curve (tests/test_reference_goldens
+    tranche 3)."""
+    asym = 1.0 + (sf - 0.5) * 0.8
+    a = dist_mountain * asym + eps
+    b = dist_ocean + eps
+    c = dist_coastline + eps
+    inv_a = jnp.where(jnp.isinf(a), 0.0, 1.0 / a)
+    inv_b = jnp.where(jnp.isinf(b), 0.0, 1.0 / b)
+    inv_c = jnp.where(jnp.isinf(c), 0.0, 1.0 / c)
+    no_field = jnp.isinf(dist_mountain) & jnp.isinf(dist_ocean)
+    denom = inv_a + inv_b + inv_c
+    return jnp.where(
+        no_field, 0.1 * BASE_SCALE,
+        jnp.where(denom > 0,
+                  (inv_a - inv_b) / jnp.maximum(denom, 1e-20) * BASE_SCALE,
+                  0.1 * BASE_SCALE),
+    )
+
+
+def ocean_floor_profile(dist_coast, abyss_noise):
+    """Fixed-breakpoint ocean depth profile (js/elevation.js:896-909):
+    shelf −0.04→−0.10 over hops 0-5, slope −0.10→−0.35 over hops 5-12,
+    abyssal plain −0.35 + fbm·0.03 beyond (``abyss_noise`` is the
+    already-scaled noise term). Extracted for the golden tests."""
+    dc = dist_coast
+    return jnp.where(
+        dc < 5, -0.04 - 0.06 * (dc / 5),
+        jnp.where(dc < 12, -0.10 - 0.25 * ((dc - 5) / 7),
+                  -0.35 + abyss_noise))
+
+
 @partial(jax.jit, static_argnames=(
     "warp_octaves", "interior_band", "tectonic_reach", "plateau_start",
     "rift_half", "floor_end", "shoulder_end", "ridge_half", "fracture_half",
@@ -176,20 +213,7 @@ def _main_assembly(pos, r_is_ocean, stress, sf, btype,
     warp_scale = 0.4
 
     # --- base elevation: harmonic-mean distance blend (:638-655) ---
-    asym = 1.0 + (sf - 0.5) * 0.8
-    a = dist_mountain * asym + eps
-    b = dist_ocean + eps
-    c = dist_coastline + eps
-    inv_a = jnp.where(jnp.isinf(a), 0.0, 1.0 / a)
-    inv_b = jnp.where(jnp.isinf(b), 0.0, 1.0 / b)
-    inv_c = jnp.where(jnp.isinf(c), 0.0, 1.0 / c)
-    no_field = jnp.isinf(dist_mountain) & jnp.isinf(dist_ocean)
-    denom = inv_a + inv_b + inv_c
-    base = jnp.where(
-        no_field, 0.1 * BASE_SCALE,
-        jnp.where(denom > 0, (inv_a - inv_b) / jnp.maximum(denom, 1e-20) * BASE_SCALE,
-                  0.1 * BASE_SCALE),
-    )
+    base = base_blend(dist_mountain, dist_ocean, dist_coastline, sf, eps)
     elev = base
     dl_base = base
 
@@ -344,9 +368,7 @@ def _main_assembly(pos, r_is_ocean, stress, sf, btype,
     # ================= OCEAN STACK =================
     dc = dist_coast
     abyss_noise = fbm(noise_t, x * 2, y * 2, z * 2, 3) * 0.03
-    ocean_base = jnp.where(
-        dc < 5, -0.04 - 0.06 * (dc / 5),
-        jnp.where(dc < 12, -0.10 - 0.25 * ((dc - 5) / 7), -0.35 + abyss_noise))
+    ocean_base = ocean_floor_profile(dc, abyss_noise)
     elev_o = jnp.minimum(base, ocean_base)
     dl_ocean = elev_o
     elev_before_oc = elev_o

@@ -403,3 +403,148 @@ def test_zonal_base_curve_goldens():
     want = np.asarray([r[1] for r in ZONAL_ROWS], np.float32)
     got = np.asarray(zonal_base(d))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+# ── tranche 3: elevation / erosion formula goldens (VERDICT r4 #8) ──────
+# Hand-evaluated in float64 against the reference source; the repo runs
+# float32, so tolerances are a few ULP above f32 rounding. These fail if
+# any constant or breakpoint in the curves drifts.
+
+def test_base_blend_goldens():
+    """Harmonic-mean base blend, js/elevation.js:638-655: values computed
+    by hand with eps=1e-3, BASE_SCALE=0.6, asym = 1+(sf-0.5)*0.8."""
+    from planet_heightmap_generation_tpu.elevation.assemble import base_blend
+
+    inf = np.inf
+    rows = [
+        # (d_mtn, d_ocean, d_coastline, sf, expected)
+        (2.0, 8.0, 4.0, 0.5, 0.25707858979018045),
+        (2.0, 8.0, 4.0, 0.9, 0.20196767871332036),   # subducting: lower
+        (2.0, 8.0, 4.0, 0.1, 0.3297014360208033),    # overriding: higher
+        (inf, 3.0, 5.0, 0.5, -0.3749812546863284),   # ocean-only field
+        (3.0, inf, 5.0, 0.5, 0.3749812546863284),    # mountain-only field
+        (inf, inf, 5.0, 0.5, 0.06),                  # no field → 0.1·0.6
+    ]
+    dm, do, dc, sf, want = (np.array(c, np.float32) for c in zip(*rows))
+    got = np.asarray(base_blend(jnp.asarray(dm), jnp.asarray(do),
+                                jnp.asarray(dc), jnp.asarray(sf)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_ocean_floor_profile_goldens():
+    """Shelf/slope/abyss breakpoints at 5/12 hops, js/elevation.js:896-909."""
+    from planet_heightmap_generation_tpu.elevation.assemble import (
+        ocean_floor_profile)
+
+    rows = [
+        # (dist_coast, abyss_noise, expected)
+        (0.0, 0.02, -0.04),             # coastline
+        (2.5, 0.02, -0.07),             # mid-shelf: -0.04 - 0.06·0.5
+        (4.999, 0.02, -0.099988),       # shelf end approaches -0.10
+        (5.0, 0.02, -0.10),             # slope start (second branch at 0)
+        (8.5, 0.02, -0.225),            # mid-slope: -0.10 - 0.25·0.5
+        (12.0, 0.02, -0.33),            # abyss: -0.35 + noise
+        (100.0, -0.01, -0.36),          # abyss with negative noise
+    ]
+    dc, nz, want = (np.array(c, np.float32) for c in zip(*rows))
+    got = np.asarray(ocean_floor_profile(jnp.asarray(dc), jnp.asarray(nz)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _chain_graph():
+    """2 → 1 → 0 → ocean(3): the 3-cell drainage chain of
+    js/terrain-post.js:614-641, expressed directly in receiver arrays."""
+    elev = jnp.asarray(np.array([0.1, 0.3, 0.6, -0.2], np.float32))
+    is_ocean = jnp.asarray(np.array([0, 0, 0, 1], bool))
+    valid = jnp.ones(4, bool)
+    rcv = jnp.asarray(np.array([3, 0, 1, -1], np.int32))
+    dist = jnp.ones(4, jnp.float32)
+    is_pit = jnp.zeros(4, bool)
+    return elev, is_ocean, valid, rcv, dist, is_pit
+
+
+def test_flow_accumulation_chain_golden():
+    from planet_heightmap_generation_tpu.erosion.fluvial import (
+        flow_accumulation)
+
+    _, is_ocean, valid, rcv, _, is_pit = _chain_graph()
+    land = (~is_ocean) & valid
+    flow = np.asarray(flow_accumulation(land, rcv, is_pit))
+    # the reference's accumulation pass adds into OCEAN targets too
+    # (js/terrain-post.js:609-612 has no ocean guard), so the sink cell
+    # reads the full upstream count; only land consumers use it
+    np.testing.assert_array_equal(flow, [3.0, 2.0, 1.0, 3.0])
+
+
+def test_stream_power_chain_golden():
+    """Implicit stream-power + sediment deposition on the 3-cell chain,
+    hand-evaluated sequentially in float64 per js/terrain-post.js:614-638
+    (K=0.1, m=0.5, dt=1): factors K·√flow, h' = (h + F·h'_rcv)/(1+F),
+    deposit = eroded · 0.5/(1+slope·50) at the receiver. The parallel
+    solve is exact; the deposit pass reads post-solve (not mid-sweep)
+    receiver slopes, a documented approximation worth < 1e-5 here."""
+    from planet_heightmap_generation_tpu.erosion.fluvial import (
+        stream_power_solve)
+
+    elev, is_ocean, valid, rcv, dist, is_pit = _chain_graph()
+    flow = jnp.asarray(np.array([3.0, 2.0, 1.0, 0.0], np.float32))
+    got = np.asarray(stream_power_solve(
+        elev, is_ocean, valid, rcv, dist, is_pit, flow,
+        k_coeff=0.1, m_exp=0.5, dt=1.0))
+    want = [0.08610834, 0.27482338, 0.57030827, -0.2]
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def _line_graph(n=8):
+    """1-D line mesh (i ↔ i±1) in banded form: band_off=(-1, +1)."""
+    band_off = (-1, 1)
+    band_mask = np.zeros((n, 2), bool)
+    band_mask[1:, 0] = True     # neighbor i-1
+    band_mask[:-1, 1] = True    # neighbor i+1
+    band_dist = band_mask.astype(np.float32)
+    rem_src = jnp.asarray(np.array([n], np.int32))     # no remainder edges
+    rem_dst = jnp.asarray(np.array([0], np.int32))
+    rem_dist = jnp.asarray(np.array([0.0], np.float32))
+    return (band_off, jnp.asarray(band_mask), jnp.asarray(band_dist),
+            rem_src, rem_dst, rem_dist)
+
+
+def test_thermal_talus_goldens():
+    """Talus excess distribution, js/terrain-post.js:644-686: a single
+    peak sheds k·total·0.5, split across steep edges by excess share."""
+    from planet_heightmap_generation_tpu.erosion.thermal import thermal_step
+
+    band_off, band_mask, band_dist, rem_src, rem_dst, rem_dist = _line_graph()
+    n = 8
+    valid = jnp.ones(n, bool)
+    elev = np.zeros(n, np.float32)
+    elev[1] = 0.5
+    # both-neighbor case: slopes 0.5 > talus 0.3 → excess 0.2+0.2,
+    # transfer = 0.5·0.4·0.5 = 0.1, split evenly
+    got = np.asarray(thermal_step(
+        jnp.asarray(elev), jnp.zeros(n, bool), valid, band_off, band_mask,
+        jnp.asarray(band_dist), rem_src, rem_dst, rem_dist,
+        jnp.float32(0.3), jnp.float32(0.5)))
+    want = np.zeros(n, np.float32)
+    want[0], want[1], want[2] = 0.05, 0.4, 0.05
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # ocean neighbors are excluded from both shed and receive
+    # (js/terrain-post.js:656: `if (r_isOcean[nb]) continue`)
+    is_ocean = np.zeros(n, bool)
+    is_ocean[0] = True
+    got = np.asarray(thermal_step(
+        jnp.asarray(elev), jnp.asarray(is_ocean), valid, band_off, band_mask,
+        jnp.asarray(band_dist), rem_src, rem_dst, rem_dist,
+        jnp.float32(0.3), jnp.float32(0.5)))
+    want = np.zeros(n, np.float32)
+    want[1], want[2] = 0.45, 0.05
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # sub-talus slopes shed nothing
+    gentle = np.linspace(0.0, 0.2, n).astype(np.float32)
+    got = np.asarray(thermal_step(
+        jnp.asarray(gentle), jnp.zeros(n, bool), valid, band_off, band_mask,
+        jnp.asarray(band_dist), rem_src, rem_dst, rem_dist,
+        jnp.float32(0.3), jnp.float32(0.5)))
+    np.testing.assert_allclose(got, gentle, atol=1e-7)

@@ -6,12 +6,19 @@ HLO-affecting change invalidates entries silently, so after a round of
 kernel work the cache accumulates dead blobs (the round-2 advisor
 finding) and misses the new programs. This tool regenerates it:
 
-    python tools/prewarm_cache.py [--wipe] [configs...]
+    python tools/prewarm_cache.py [--wipe] [--verify] [configs...]
 
 --wipe removes every existing entry first (prune superseded blobs before
 committing). Configs default to the full bench ladder (1 d 2 3 4 5w) plus
 the 8K verify shape; `5w` compiles the 4M terrain program (one warmup
 generate) without running the 16-seed sweep.
+
+--verify re-runs each config in a FRESH subprocess afterward and FAILS
+(rc=1) if any run adds a new cache entry — proof the snapshot covers every
+program a driver bench run will trace. Round 4 shipped a cache regenerated
+before the last HLO-affecting commit; config2 then MISSed in the driver
+run and the recompile ate the remaining bench budget (VERDICT r4 #3).
+Run --verify before EVERY snapshot.
 
 Each config runs in THIS process sequentially (cold compile → cache
 write); expect ~5-15 min per new fused program over the tunneled backend.
@@ -32,6 +39,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".jax_cache")
 
 
+def _entries():
+    try:
+        return set(os.listdir(CACHE))
+    except OSError:
+        return set()
+
+
+def verify(configs):
+    """Re-run each config in a fresh subprocess; fail on any new entry."""
+    import subprocess
+    ok = True
+    for cfg in configs:
+        pre = _entries()
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", cfg],
+            cwd=REPO)
+        new = _entries() - pre
+        dt = time.monotonic() - t0
+        if r.returncode != 0:
+            print(f"[verify] config {cfg}: subprocess rc={r.returncode} FAIL")
+            ok = False
+        elif new:
+            names = sorted(e.split("-")[0] for e in new)
+            print(f"[verify] config {cfg}: {len(new)} NEW cache entries "
+                  f"({', '.join(names)}) — prewarm INCOMPLETE ({dt:.0f}s)")
+            ok = False
+        else:
+            print(f"[verify] config {cfg}: clean deserialize, "
+                  f"zero new entries ({dt:.0f}s)", flush=True)
+    return ok
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--wipe" in sys.argv[1:]:
@@ -41,6 +81,9 @@ def main():
             print(f"wiped {CACHE}")
 
     configs = args or ["v", "1", "d", "2", "3", "4", "5w"]
+
+    if "--verify" in sys.argv[1:]:
+        raise SystemExit(0 if verify(configs) else 1)
 
     from planet_heightmap_generation_tpu.config import GenerationParams
     from planet_heightmap_generation_tpu.pipeline import PlanetEngine
