@@ -109,3 +109,65 @@ def test_adjacency_symmetric():
                     edges.add((v, int(g.nbr_idx[v, k])))
         for a, b in edges:
             assert (b, a) in edges, f"edge {a}->{b} has no reverse"
+
+
+def test_native_packed_matches_host_banded():
+    """build_banded_packed (native C++) vs build_banded (pure numpy) and
+    the raw SphereGraph arrays — independent implementations of the same
+    packing, compared field by field. Guards the silent-corruption mode
+    where a packing bug distorts expected AND actual in the downstream
+    edge-set parity tests (both derive from the packed form via to_device;
+    ADVICE r4 #2). Skips LOUDLY when the native library is absent — the
+    packed path is then untested on this host."""
+    from planet_heightmap_generation_tpu.mesh.build import (
+        build_sphere, build_banded, build_banded_packed)
+
+    g = build_sphere(4000, 0.75, seed=11.0)
+    packed = build_banded_packed(g.nbr_idx, g.nbr_mask)
+    if packed is None:
+        pytest.skip("NATIVE mesh_build LIBRARY UNAVAILABLE — "
+                    "build_banded_packed parity NOT verified on this host")
+    band_off, band_bits, mask_bits, off16, exc_f, exc_v, rem_src, \
+        rem_dst = packed
+    boff_ref, bmask_ref, rsrc_ref, rdst_ref = build_banded(
+        g.nbr_idx, g.nbr_mask)
+
+    assert tuple(band_off) == tuple(int(o) for o in boff_ref)
+    d = len(band_off)
+    got_bmask = ((band_bits[:, None] >> np.arange(d, dtype=np.uint32))
+                 & 1) > 0
+    np.testing.assert_array_equal(got_bmask, bmask_ref)
+
+    k = g.nbr_idx.shape[1]
+    got_nmask = ((mask_bits[:, None] >> np.arange(k, dtype=np.uint32))
+                 & 1) > 0
+    np.testing.assert_array_equal(got_nmask, g.nbr_mask)
+
+    # contract: identical remainder edge order + bucketing (docstring)
+    np.testing.assert_array_equal(rem_src, rsrc_ref)
+    np.testing.assert_array_equal(rem_dst, rdst_ref)
+
+    # off16 + exception scatter reconstruct nbr_idx exactly
+    idx = (np.arange(g.n_padded, dtype=np.int64)[:, None]
+           + off16.astype(np.int64)).reshape(-1)
+    idx[exc_f] = exc_v
+    np.testing.assert_array_equal(idx.reshape(g.n_padded, k), g.nbr_idx)
+
+
+def test_to_device_matches_host_arrays():
+    """DeviceGraph arrays reconstructed on device from the packed upload
+    must equal the host SphereGraph truth (nbr_idx/nbr_mask/nbr_dist/
+    band_mask) whichever packing path produced them."""
+    from planet_heightmap_generation_tpu.mesh.build import (
+        build_sphere, build_banded)
+    from planet_heightmap_generation_tpu.mesh.device import to_device
+
+    g = build_sphere(4000, 0.75, seed=11.0)
+    dg = to_device(g)
+    np.testing.assert_array_equal(np.asarray(dg.nbr_idx), g.nbr_idx)
+    np.testing.assert_array_equal(np.asarray(dg.nbr_mask), g.nbr_mask)
+    # device recomputes nbr_dist from f32 positions
+    np.testing.assert_allclose(np.asarray(dg.nbr_dist), g.nbr_dist,
+                               atol=1e-6)
+    _, bmask_ref, _, _ = build_banded(g.nbr_idx, g.nbr_mask)
+    np.testing.assert_array_equal(np.asarray(dg.band_mask), bmask_ref)

@@ -50,7 +50,6 @@ GROUPS = [
     ("parallel", ["test_parallel.py"]),
 ]
 
-# Per-group env overrides (kept as a mechanism; currently empty).
 # Measured on this 1-core host (2026-08-21): kernels 2:05, terrain 6:00,
 # climate 0:35, product 9:40, fused 27:30, parallel ~8:00 — ~54 min
 # total. The fused group is XLA:CPU compile-bound on the fused terrain /
@@ -58,7 +57,6 @@ GROUPS = [
 # PLANET_BAND_COUNT=8 experiment did NOT shrink it (29:24 — the compile
 # cost is program structure, not band unroll), so the group keeps the
 # production band count.
-GROUP_ENV = {}
 
 _TALLY = re.compile(
     r"(?:(\d+) passed)?(?:, )?(?:(\d+) failed)?(?:, )?"
@@ -88,10 +86,9 @@ def main():
     for name, files in GROUPS:
         paths = [os.path.join("tests", f) for f in files]
         t0 = time.monotonic()
-        env = dict(os.environ, **GROUP_ENV.get(name, {}))
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", *paths],
-            cwd=REPO, capture_output=True, text=True, env=env)
+            cwd=REPO, capture_output=True, text=True)
         dt = time.monotonic() - t0
         tail = r.stdout.strip().splitlines()
         tally = tail[-1] if tail else "(no output)"
