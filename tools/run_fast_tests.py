@@ -39,7 +39,8 @@ GROUPS = [
     ("kernels", ["test_rng.py", "test_noise.py", "test_planet_code.py",
                  "test_mesh.py", "test_graph_ops.py", "test_banded.py",
                  "test_graph_multi.py", "test_native.py",
-                 "test_reference_goldens.py", "test_sweep_pallas.py"]),
+                 "test_reference_goldens.py", "test_sweep_pallas.py",
+                 "test_bench_contract.py"]),
     ("terrain", ["test_erosion.py", "test_tectonics.py",
                  "test_elevation.py"]),
     ("climate", ["test_climate.py"]),
