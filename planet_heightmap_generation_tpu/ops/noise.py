@@ -200,21 +200,36 @@ def _lut(table, idx, width: int):
     return out.reshape(shape)
 
 
-def _corner_contrib(perm, pm12, grad, ii, jj, kk, xo, yo, zo):
+def _grad_components(h):
+    """Gradient components for hash ``h`` ∈ [0,12) via bit arithmetic on
+    the structured table (_GRAD rows: x = ±1 for h<8 alternating by bit 0;
+    y = ±1 for h<4 by bit 1 and h≥8 by bit 0; z = ±1 for 4≤h<12 by bit 1)
+    — replaces three 12-wide one-hot selects with a few integer ops,
+    value-identical (±1.0/0.0 exactly)."""
+    b0 = (h & 1).astype(jnp.float32)
+    b1 = ((h >> 1) & 1).astype(jnp.float32)
+    sign0 = 1.0 - 2.0 * b0
+    sign1 = 1.0 - 2.0 * b1
+    gx = jnp.where(h < 8, sign0, 0.0)
+    gy = jnp.where(h < 4, sign1, jnp.where(h >= 8, sign0, 0.0))
+    gz = jnp.where(h >= 4, sign1, 0.0)
+    return gx, gy, gz
+
+
+def _corner_contrib(perm, pm12, inner, ii, jj, xo, yo, zo):
     """Attenuated gradient dot for one simplex corner. The permutation
-    lookups ride one-hot selects (see :func:`_lut`); the 12-entry gradient
-    table unpacks per component the same way.
+    lookups ride one-hot selects (see :func:`_lut`); ``inner`` is the
+    already-computed innermost lookup ``perm[(kk + dk) & 255]`` — the
+    corner k-offsets are all 0/1, so callers compute TWO inner luts and
+    select per corner instead of four (−17% of the 256-wide select work).
 
     The 512-entry tables are 256-periodic by construction
     (``perm[x] = perm[x & 255]``, js/simplex-noise.js:12-14), so masking
     the index to the low byte halves every one-hot width — bit-identical,
     ~1.9× less select work."""
-    inner = _lut(perm, kk & 255, 256)
     mid = _lut(perm, (jj + inner) & 255, 256)
     h = _lut(pm12, (ii + mid) & 255, 256)
-    gx = _lut(_GRAD_XI, h, 12).astype(jnp.float32)
-    gy = _lut(_GRAD_YI, h, 12).astype(jnp.float32)
-    gz = _lut(_GRAD_ZI, h, 12).astype(jnp.float32)
+    gx, gy, gz = _grad_components(h)
     t = 0.6 - xo * xo - yo * yo - zo * zo
     t = jnp.maximum(t, 0.0)
     t2 = t * t
@@ -277,9 +292,15 @@ def _noise3(perm, pm12, grad, x, y, z):
     jj = j.astype(jnp.int32) & 255
     kk = k.astype(jnp.int32) & 255
 
-    n0 = _corner_contrib(perm, pm12, grad, ii, jj, kk, x0, y0, z0)
-    n1 = _corner_contrib(perm, pm12, grad, ii + i1, jj + j1, kk + k1, x1, y1, z1)
-    n2 = _corner_contrib(perm, pm12, grad, ii + i2, jj + j2, kk + k2, x2, y2, z2)
-    n3 = _corner_contrib(perm, pm12, grad, ii + 1, jj + 1, kk + 1, x3, y3, z3)
+    # the corner k-offsets are all 0/1 → only two distinct inner lookups
+    inner_a = _lut(perm, kk, 256)               # kk already masked
+    inner_b = _lut(perm, (kk + 1) & 255, 256)
+    inner_1 = jnp.where(k1 > 0, inner_b, inner_a)
+    inner_2 = jnp.where(k2 > 0, inner_b, inner_a)
+
+    n0 = _corner_contrib(perm, pm12, inner_a, ii, jj, x0, y0, z0)
+    n1 = _corner_contrib(perm, pm12, inner_1, ii + i1, jj + j1, x1, y1, z1)
+    n2 = _corner_contrib(perm, pm12, inner_2, ii + i2, jj + j2, x2, y2, z2)
+    n3 = _corner_contrib(perm, pm12, inner_b, ii + 1, jj + 1, x3, y3, z3)
 
     return 32.0 * (n0 + n1 + n2 + n3)
