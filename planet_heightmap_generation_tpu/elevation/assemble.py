@@ -485,6 +485,19 @@ def _island_arcs(pos, elev, arc_dist, arc_stress, arc_t: Tables,
     return elev + uplift, uplift
 
 
+
+def _probe_result(g, probe, col, stress, subduct):
+    """Truncated-trace result for assign_elevation(trunc=...) — elevation
+    is a cheap reduction over the phase outputs so the prefix stays live."""
+    z = jnp.zeros(g.n_padded, jnp.float32)
+    return ElevationResult(
+        elevation=probe.astype(jnp.float32),
+        mountain=col.mountain, coastline=col.coastline,
+        ocean_seeds=col.ocean, stress=stress, subduct=subduct,
+        r_is_ocean=jnp.zeros(g.n_padded, bool),
+        dist_coast_land=z, debug={"hotspot": z},
+    )
+
 def assign_elevation(
     g: DeviceGraph,
     r_plate: jax.Array,
@@ -495,6 +508,7 @@ def assign_elevation(
     super_is_ocean=None, super_pole=None, super_omega=None, super_density=None,
     noise_pack: Optional[Dict[str, Tables]] = None,
     domes: Optional[Dict[str, jax.Array]] = None,
+    trunc: Optional[str] = None,
 ) -> ElevationResult:
     """Full elevation synthesis orchestration (js/elevation.js:216-1391).
 
@@ -503,7 +517,12 @@ def assign_elevation(
     function is pure-traceable (``seed`` may be a traced uint32 scalar, used
     only for hash salts); when omitted they are built here on host —
     convenient for tests, but forces device→host syncs mid-stage. An empty
-    ``domes`` dict means "no hotspots"."""
+    ``domes`` dict means "no hotspots".
+
+    ``trunc`` (debug/bisect only — tools/bisect_profile.py): stop after the
+    named phase ('stress' | 'bfs5' | 'carry' | 'assembly' | 'coastal') and
+    return a probe ElevationResult whose elevation consumes that phase's
+    outputs (so nothing is dead-code-eliminated from the truncated trace)."""
     n = g.n_cells
     npad = g.n_padded
     dt = 1e-2 / max(1.0, math.sqrt(n / 10000.0))
@@ -553,6 +572,9 @@ def assign_elevation(
             plate_is_ocean[r_plate][:, None],
             *g.bands, decay, sub_decay, num_passes)
         stress, subduct = st2[:, 0], sf2[:, 0]
+
+    if trunc == "stress":
+        return _probe_result(g, stress + subduct, col, stress, subduct)
 
     mountain, coastline, ocean_seeds = col.mountain, col.coastline, col.ocean
 
@@ -625,6 +647,11 @@ def assign_elevation(
     dist_coast_land = _saturate(dists[:, 4], land_coast_seeds, r_is_ocean,
                                 float(interior_band + 1))
 
+    if trunc == "bfs5":
+        probe = sum(jnp.where(jnp.isfinite(dists[:, i]), dists[:, i], 0.0)
+                    for i in range(5))
+        return _probe_result(g, probe, col, stress, subduct)
+
     max_stress = _stress_p97(stress, g.valid)
 
     # structural band widths (js/elevation.js:429-438, 460, 475, 512, 543,
@@ -693,6 +720,13 @@ def assign_elevation(
     arc_dist = band_dist[:, 4]
     arc_stress = band_carry[0, :, 4]
 
+    if trunc == "carry":
+        probe = (d_bdry + coast_stress + coast_subduct + coast_convergent
+                 + sum(jnp.where(jnp.isfinite(band_dist[:, i]),
+                                 band_dist[:, i], 0.0) for i in range(5))
+                 + backarc_stress + arc_stress)
+        return _probe_result(g, probe, col, stress, subduct)
+
     # -------- fused assembly --------
     rift_t = nt["rift"]
     fold_t = nt["fold"]
@@ -705,6 +739,9 @@ def assign_elevation(
         warp_oct, interior_band, tectonic_reach, plateau_start,
         rift_half, floor_end, shoulder_end, ridge_half, fracture_half,
         ba_start, ba_peak, ba_end)
+
+    if trunc == "assembly":
+        return _probe_result(g, elev, col, stress, subduct)
 
     # margins debug layer (js/elevation.js:912-917)
     margins = jnp.where(coast_convergent > 0, 0.8, 0.2)
@@ -726,6 +763,9 @@ def assign_elevation(
         peak_dist=max(1.5, 1.5 * sf_res), sigma=max(1.5, 1.5 * sf_res),
         max_arc_dist=max_arc)
     debug["coastal"] = dl_coastal + dl_arc
+
+    if trunc == "coastal":
+        return _probe_result(g, elev, col, stress, subduct)
 
     # -------- hotspots --------
     if domes is None:

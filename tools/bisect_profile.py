@@ -70,11 +70,16 @@ def _prefix(stage):
             kw = dict(r_super_plate=plate_to_super[r_plate],
                       super_is_ocean=s_ocean, super_pole=s_pole,
                       super_omega=s_omega, super_density=s_dens)
+        # sub-stage truncations INSIDE assign_elevation (4M fault bisect):
+        # stress -> bfs5 -> carry -> assembly -> coastal -> (full) elev
+        elev_trunc = stage if stage in ("stress", "bfs5", "carry",
+                                        "assembly", "coastal") else None
         elev_res = assign_elevation(
             g, r_plate, p_ocean, p_pole, p_omega, p_dens,
             seed=seed32, noise_mag=p.roughness, spread=p.spread,
-            noise_pack=nt, domes=domes if spec.has_domes else {}, **kw)
-        if stage == "elev":
+            noise_pack=nt, domes=domes if spec.has_domes else {},
+            trunc=elev_trunc, **kw)
+        if stage == "elev" or elev_trunc is not None:
             return elev_res.elevation
 
         avg_edge_nom = math.pi / math.sqrt(g.n_cells)
