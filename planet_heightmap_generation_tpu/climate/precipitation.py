@@ -279,7 +279,8 @@ def _rain_shadow2(pos, elev, height_km, is_land, wind3d2, wdg2,
     arithmetic order — results match."""
     from ..ops.sweep_pallas import use_pallas
 
-    impl = _rain_shadow2_pallas if use_pallas() else _rain_shadow2_jnp
+    impl = (_rain_shadow2_pallas if use_pallas(pos.shape[0])
+            else _rain_shadow2_jnp)
     return impl(pos, elev, height_km, is_land, wind3d2, wdg2,
                 band_off, band_mask, rem_src, rem_dst,
                 shadow_hops, windward_hops)

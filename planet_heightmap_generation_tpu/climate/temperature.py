@@ -33,7 +33,8 @@ def _diffuse_ocean_warmth(warmth2, is_land, plate_cont,
     restore (frozen cells keep their value but still contribute)."""
     from ..ops.sweep_pallas import use_pallas
 
-    impl = _diffuse_warmth_pallas if use_pallas() else _diffuse_warmth_jnp
+    impl = (_diffuse_warmth_pallas if use_pallas(band_mask.shape[0])
+            else _diffuse_warmth_jnp)
     return impl(warmth2, is_land, plate_cont, band_off, band_mask,
                 rem_src, rem_dst, passes)
 

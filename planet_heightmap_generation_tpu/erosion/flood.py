@@ -78,7 +78,7 @@ def connected_components_banded(in_set, band_off, band_mask, rem_src,
     from ..ops.banded import band_gate, _cc_core_pallas
 
     n = band_mask.shape[0]
-    if use_pallas() and n < (1 << 24):
+    if use_pallas(n) and n < (1 << 24):
         gate = band_gate(in_set, band_off, band_mask) & in_set[:, None]
         src_c = jnp.clip(rem_src, 0, n - 1)
         rem_ok = (rem_src < n) & in_set[src_c] & \
@@ -127,7 +127,8 @@ def _epsilon_fill(elev, is_ocean, open_ocean, valid,
     a pallas trace into the sharded/vmapped no-pallas paths)."""
     from ..ops.sweep_pallas import use_pallas
 
-    impl = _epsilon_fill_pallas if use_pallas() else _epsilon_fill_jnp
+    impl = (_epsilon_fill_pallas if use_pallas(elev.shape[0])
+            else _epsilon_fill_jnp)
     return impl(elev, is_ocean, open_ocean, valid,
                 band_off, band_mask, rem_src, rem_dst)
 

@@ -131,7 +131,7 @@ def bfs_hops_multi_banded(seeds, barrier, band_off, band_mask,
     (0.65·cap, cap) overestimate band the round-2 advisor flagged)."""
     from .sweep_pallas import use_pallas
 
-    if use_pallas():
+    if use_pallas(band_mask.shape[0]):
         if value_cap is None and max_hops > 0 and rand_cost is None:
             value_cap = float(max_hops)
         return _bfs_hops_multi_pallas(seeds, barrier, band_off, band_mask,
@@ -251,7 +251,8 @@ def smooth_field_banded(field, band_off, band_mask, rem_src, rem_dst,
     Pallas sweep kernel on TPU."""
     from .sweep_pallas import use_pallas
 
-    impl = _smooth_field_pallas if use_pallas() else _smooth_field_jnp
+    impl = (_smooth_field_pallas if use_pallas(field.shape[0])
+            else _smooth_field_jnp)
     return impl(field, band_off, band_mask, rem_src, rem_dst, passes)
 
 
@@ -263,7 +264,8 @@ def smooth_masked_banded(field, mask, band_off, band_mask, rem_src, rem_dst,
     Dispatches to the Pallas sweep kernel on TPU."""
     from .sweep_pallas import use_pallas
 
-    impl = _smooth_masked_pallas if use_pallas() else _smooth_masked_jnp
+    impl = (_smooth_masked_pallas if use_pallas(field.shape[0])
+            else _smooth_masked_jnp)
     return impl(field, mask, band_off, band_mask, rem_src, rem_dst, passes)
 
 
@@ -737,7 +739,7 @@ def connected_components_gated(labels_eq, band_off, band_mask, rem_src,
     from .sweep_pallas import use_pallas
 
     n = band_mask.shape[0]
-    if use_pallas() and n < (1 << 24):
+    if use_pallas(n) and n < (1 << 24):
         gate = band_gate(labels_eq, band_off, band_mask)
         rem_ok = rem_gate_eq(labels_eq, rem_src, rem_dst)
         init = jnp.arange(n, dtype=jnp.float32)

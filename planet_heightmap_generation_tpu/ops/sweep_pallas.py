@@ -77,13 +77,27 @@ def force_pallas():
         _FORCED_ON -= 1
 
 
-def use_pallas() -> bool:
+# Cell-count ceiling for the pallas sweep kernels. The fused 4M terrain
+# program faults the TPU at execution with pallas enabled, while every
+# pallas kernel passes standalone at 4M AND the identical program passes
+# with the jnp sweeps (r5 bisection, PERF_NOTES round 11) — an
+# XLA↔Mosaic interaction in the full program that only manifests beyond
+# ~2.56M cells (the reference's own maximum detail scale). Until the
+# root cause lands, cell counts above the ceiling trace the proven jnp
+# forms; production sizes (≤1M ladder) keep the fast kernels.
+_N_MAX = int(os.environ.get("PLANET_PALLAS_MAX_CELLS", 3_000_000))
+
+
+def use_pallas(n: int = 0) -> bool:
     """True iff the pallas sweep kernels should be traced (TPU backend,
-    not inside no_pallas(), not disabled by PLANET_PALLAS=0)."""
+    not inside no_pallas(), not disabled by PLANET_PALLAS=0, and — when
+    the caller passes its cell count — not beyond the 4M-fault ceiling)."""
     if _FORCED_OFF or os.environ.get("PLANET_PALLAS", "1") == "0":
         return False
     if _FORCED_ON:
         return True
+    if n > _N_MAX:
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
