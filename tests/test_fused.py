@@ -5,8 +5,18 @@ elevation → erosion → climate) into one XLA program (pipeline/fused.py);
 the timing path dispatches the same stage functions one by one. Both must
 produce the same planet — differences are limited to XLA fusion rounding.
 
-All tests share ONE FusedSpec (the fused XLA compile is expensive on the
-CPU test backend) — seed changes must not retrace, which is itself asserted.
+Cost layout (the fused group was 27.5 min of the fast tier in r4, all
+XLA:CPU compile — measured per program: fused terrain ~7 min, fused edit
+~7.3 min, fused post ~0.7 min, staged set ~9 min):
+
+- the staged side is the session-scoped conftest canonical 4K result —
+  shared with the product-surface files, so in a merged process the staged
+  compile set is paid ONCE;
+- every generate here uses the SAME 4K shape family, so the second staged
+  engine (reapply comparison) hits the in-process jit caches and costs
+  execution only;
+- the fused editRecompute equivalence (its own ~7-min terrain-sized
+  compile) is slow-tier.
 """
 
 import numpy as np
@@ -15,24 +25,25 @@ import pytest
 from planet_heightmap_generation_tpu.config import GenerationParams
 from planet_heightmap_generation_tpu.pipeline import PlanetEngine
 
-PARAMS = GenerationParams(seed=42, n_cells=5000, n_plates=12,
-                          num_continents=3, skip_climate=False)
+from conftest import CANON_PARAMS_KW
+
+PARAMS = GenerationParams(**CANON_PARAMS_KW)
 
 
 @pytest.fixture(scope="module")
-def results():
+def results(canon_engine_result):
+    _, staged = canon_engine_result
     engine = PlanetEngine(timing=False)
     fused = engine.generate(PARAMS)
-    fused2 = engine.generate(PARAMS.replace(seed=43))
+    fused2 = engine.generate(PARAMS.replace(seed=PARAMS.seed + 1))
+    # staged reapply comparison: a fresh staged engine at the SAME shapes —
+    # all staged kernels are module-level jits already compiled by the
+    # canonical fixture, so this pays execution only
     staged_engine = PlanetEngine(timing=True)
-    staged = staged_engine.generate(PARAMS)
-    # reapply/edit tails (fused vs staged) from the seed-43 retained state
-    staged_engine.generate(PARAMS.replace(seed=43))
+    staged_engine.generate(PARAMS.replace(seed=PARAMS.seed + 1))
     re_fused = engine.reapply(sculpt=dict(smoothing=0.6))
     re_staged = staged_engine.reapply(sculpt=dict(smoothing=0.6))
-    ed_fused = engine.edit_recompute((1,), skip_climate=True)
-    ed_staged = staged_engine.edit_recompute((1,), skip_climate=True)
-    return fused, fused2, staged, re_fused, re_staged, ed_fused, ed_staged
+    return fused, fused2, staged, re_fused, re_staged
 
 
 def test_fused_matches_staged_elevation(results):
@@ -78,7 +89,7 @@ def test_fused_diagnostics(results):
 
 def test_fused_reapply_matches_staged(results):
     """The fused reapply tail (one dispatch) ≡ the staged reapply."""
-    _, _, _, re_fused, re_staged, _, _ = results
+    *_, re_fused, re_staged = results
     a = np.asarray(re_fused.elevation)
     b = np.asarray(re_staged.elevation)
     # XLA reassociates float sums differently between the fused and staged
@@ -91,9 +102,18 @@ def test_fused_reapply_matches_staged(results):
     assert (k1 != k2).mean() < 0.01
 
 
-def test_fused_edit_matches_staged(results):
-    """The fused editRecompute tail ≡ the staged edit path."""
-    *_, ed_fused, ed_staged = results
+@pytest.mark.slow
+def test_fused_edit_matches_staged(canon_engine_result):
+    """The fused editRecompute tail ≡ the staged edit path. Slow tier: the
+    fused edit program is its own terrain-sized XLA:CPU compile (~7.3 min
+    measured r5) — the equivalence is pinned here, the fast tier covers the
+    edit path through the staged engine (test_pipeline)."""
+    engine = PlanetEngine(timing=False)
+    engine.generate(PARAMS.replace(seed=PARAMS.seed + 1))
+    staged_engine = PlanetEngine(timing=True)
+    staged_engine.generate(PARAMS.replace(seed=PARAMS.seed + 1))
+    ed_fused = engine.edit_recompute((1,), skip_climate=True)
+    ed_staged = staged_engine.edit_recompute((1,), skip_climate=True)
     a = np.asarray(ed_fused.elevation)
     b = np.asarray(ed_staged.elevation)
     assert np.abs(a - b).max() < 2e-3

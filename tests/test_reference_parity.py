@@ -30,26 +30,27 @@ CONFIGS = dict(
     c40k_s42=dict(seed=42, n_cells=40000, n_plates=80, num_continents=4),
     c40k_s7=dict(seed=7, n_cells=40000, n_plates=80, num_continents=4),
     c20k_s123=dict(seed=123, n_cells=20000, n_plates=40, num_continents=3),
-    # fast-tier config: SAME FusedSpec shape family as tests/test_fused.py
-    # PARAMS (5000 cells, 12 plates, 3 continents, default sliders), so the
-    # fast tier's parity generate reuses the fused executable test_fused
-    # already compiled in the same process — the 20K generate was 25+ min
-    # of the fast tier's wall (VERDICT r3 weak #4) and is now slow-tier.
-    c5k_s123=dict(seed=123, n_cells=5000, n_plates=12, num_continents=3),
+    # fast-tier config: SAME FusedSpec shape family as the conftest
+    # canonical 4K spec (4000 cells, 12 plates, 2 continents, default
+    # sliders) = tests/test_fused.py PARAMS, so the fast tier's parity
+    # generate reuses the fused executable test_fused already compiled in
+    # the same process — the 20K generate was 25+ min of the fast tier's
+    # wall (VERDICT r3 weak #4) and is slow-tier.
+    c4k_s123=dict(seed=123, n_cells=4000, n_plates=12, num_continents=2),
 )
 
 # Self-snapshots of THIS implementation (full climate, default sliders) —
 # regenerate with tools/make_snapshots.py in the commit that changes
 # expected behavior, never to paper over accidental drift.
 SNAPSHOTS = dict(
-    c5k_s123=dict(
-        land_fraction=0.28514,
-        elevation_hist=[0.0, 0.0, 0.0006, 0.0096, 0.02879, 0.05159, 0.12198,
-                        0.13037, 0.20216, 0.16977, 0.03459, 0.03579, 0.07379,
-                        0.06439, 0.03299, 0.0184, 0.0096, 0.0074, 0.004,
-                        0.0042],
-        koppen_top={0: 0.7149, 6: 0.0392, 7: 0.039, 19: 0.0298,
-                    4: 0.0248, 3: 0.0232, 17: 0.0216, 9: 0.0202},
+    c4k_s123=dict(
+        land_fraction=0.31042,
+        elevation_hist=[0.0, 0.0, 0.0, 0.0055, 0.02424, 0.03274, 0.06048,
+                        0.12297, 0.24494, 0.1987, 0.00375, 0.001, 0.00225,
+                        0.18645, 0.04624, 0.03049, 0.01925, 0.00625, 0.0055,
+                        0.00925],
+        koppen_top={0: 0.6896, 29: 0.0442, 3: 0.0372, 19: 0.0357,
+                    6: 0.0347, 30: 0.026, 1: 0.0237, 9: 0.0197},
         plate_count=12,
     ),
     c20k_s123=dict(
@@ -103,12 +104,12 @@ def _metrics(result):
 # fast tier pins the 5K config (same FusedSpec as test_fused.PARAMS minus
 # the seed, so this generate reuses the executable test_fused already
 # compiled in this process); the 20K/40K configs are slow-tier.
-SNAPSHOT = SNAPSHOTS["c5k_s123"]
+SNAPSHOT = SNAPSHOTS["c4k_s123"]
 
 
 @pytest.fixture(scope="module")
 def snapshot_result():
-    params = GenerationParams(skip_climate=False, **CONFIGS["c5k_s123"])
+    params = GenerationParams(skip_climate=False, **CONFIGS["c4k_s123"])
     return PlanetEngine(timing=False).generate(params)
 
 
@@ -149,7 +150,7 @@ def test_self_snapshot_plate_count(snapshot_metrics):
 def test_self_snapshot_20k(result_20k):
     """20K self-snapshot — was the fast tier's dominant cost (a second
     fused compile at 20K shapes, ~25 min on the 1-core CPU backend); the
-    fast tier now pins c5k_s123 and this moved to the slow tier."""
+    fast tier now pins c4k_s123 and this moved to the slow tier."""
     _check_snapshot(_metrics(result_20k), SNAPSHOTS["c20k_s123"])
 
 

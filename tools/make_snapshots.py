@@ -31,6 +31,16 @@ sys.path.insert(0, os.path.join(
 
 import numpy as np  # noqa: E402
 
+# Reproduce the EXACT pytest jax context before any backend use: conftest
+# calls jax.config.update("jax_platforms", ...), which re-initializes the
+# XLA:CPU backend and shifts device float results by ~1 ULP relative to an
+# env-var-only setup (measured r5: the jitted _expand_graph's nbr_dist
+# differs in the last bit). The erosion cascade amplifies mesh-edge-length
+# ULPs into macroscopically different planets (L1≈0.19 on the elevation
+# histogram), so snapshot values generated OUTSIDE the pytest context fail
+# the snapshot tests. One import makes the contexts identical.
+import conftest  # noqa: E402, F401
+
 
 def main():
     from planet_heightmap_generation_tpu.config import GenerationParams

@@ -30,11 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #  - terrain: elevation/erosion/tectonics property tests (mid-size kernels)
 #  - climate: the climate kernel family
 #  - product: everything sharing the session-scoped canonical 4K generate
-#    (conftest.canon_engine_result) — ONE staged compile set per process
-#  - fused:   the fused-pipeline equivalence tests (one 4K fused compile)
+#    (conftest.canon_engine_result) — ONE staged compile set per process.
+#    test_fused/test_reference_parity live HERE since r5: their staged
+#    side IS the canonical fixture and every generate shares the 4K shape
+#    family, so the former fused group's duplicate staged compile set
+#    (~9 min) is gone and the only extra compiles are the fused terrain/
+#    climate/post programs themselves.
 #  - parallel: multi-device tests on the virtual 8-CPU mesh
-# test_reference_parity runs its own 20K fused generate; it shares the
-# fused group so the parity process stays the only other fused compile.
 GROUPS = [
     ("kernels", ["test_rng.py", "test_noise.py", "test_planet_code.py",
                  "test_mesh.py", "test_graph_ops.py", "test_banded.py",
@@ -46,8 +48,8 @@ GROUPS = [
     ("climate", ["test_climate.py"]),
     ("product", ["test_pipeline.py", "test_layers_picking.py",
                  "test_overlays.py", "test_globe.py", "test_protocol.py",
-                 "test_export_tiled.py"]),
-    ("fused", ["test_fused.py", "test_reference_parity.py"]),
+                 "test_export_tiled.py", "test_fused.py",
+                 "test_reference_parity.py"]),
     ("parallel", ["test_parallel.py"]),
 ]
 
