@@ -207,40 +207,41 @@ def _bench_sweep(engine, seed):
 
     S adapts to the remaining budget (BASELINE asks for 16; a smaller
     real number beats none — the metric NAME carries the measured count,
-    e.g. sweep4_4m_cells_per_s). The warmup run also measures the
-    per-seed wall used for the fit."""
+    e.g. sweep4_4m_cells_per_s). 4M exceeds FUSED_MAX_CELLS (the single
+    fused program's temps measured 15.3 GB against 16 GB HBM — the former
+    "4M device fault", PERF_NOTES round 11), so every seed runs the
+    staged multi-program path SEQUENTIALLY — the reference analog is 16
+    sequential browser runs; the vmapped fused batch would hit the same
+    HBM wall. The warmup run pays the compile; warm per-seed walls size
+    how many more seeds fit the budget."""
     import numpy as np
     from planet_heightmap_generation_tpu.config import GenerationParams
-    from planet_heightmap_generation_tpu.parallel.batch import generate_batch
     from planet_heightmap_generation_tpu.api.export import export_map
     from planet_heightmap_generation_tpu.mesh.device import to_device
 
     params = GenerationParams(seed=seed, n_cells=4_000_000, skip_climate=True)
     _run_once(engine, params)  # warmup/compile at the 4M shapes
-    engine.reset()  # release the retained 4M planet's device buffers
     if _remaining() < 40:
         return
-    # one measured lean seed FIRST: config 5 always emits a real number,
-    # and the warm per-seed wall sizes the bigger sweep (the warmup wall
-    # is cold-compile-inflated and useless for the fit)
-    t0 = time.perf_counter()
-    generate_batch(params, [seed + 1], engine=engine, lean=True)
-    per_seed = time.perf_counter() - t0
+    # one measured warm seed FIRST: config 5 always emits a real number
+    per_seed, r = _run_once(engine, params.replace(seed=seed + 1))
     _emit("sweep1_4m_cells_per_s", round(4_000_000 / per_seed), "cells/s",
           round(30.0 / per_seed, 2))
     n_sweep = int(min(15, (_remaining() - 90) // max(per_seed, 1.0)))
-    if n_sweep < 2:
-        return
-    t0 = time.perf_counter()
-    results = generate_batch(params, list(range(seed + 2, seed + 2 + n_sweep)),
-                             engine=engine, lean=True)
-    img = export_map(to_device(results[-1].graph), results[-1].elevation,
+    walls = [per_seed]
+    for i in range(n_sweep):
+        if _remaining() < per_seed + 60:
+            break
+        wall, r = _run_once(engine, params.replace(seed=seed + 2 + i))
+        walls.append(wall)
+    img = export_map(to_device(r.graph), r.elevation,
                      "heightmap", height=4096, width=8192)
     assert np.isfinite(img).all()
-    wall = time.perf_counter() - t0
-    _emit(f"sweep{n_sweep}_4m_cells_per_s",
-          round(n_sweep * 4_000_000 / wall), "cells/s",
-          round((n_sweep * 30.0) / wall, 2))
+    if len(walls) > 1:
+        total = sum(walls)
+        _emit(f"sweep{len(walls)}_4m_cells_per_s",
+              round(len(walls) * 4_000_000 / total), "cells/s",
+              round((len(walls) * 30.0) / total, 2))
 
 
 def main():

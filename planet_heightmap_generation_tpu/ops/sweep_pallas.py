@@ -77,15 +77,14 @@ def force_pallas():
         _FORCED_ON -= 1
 
 
-# Cell-count ceiling for the pallas sweep kernels. The fused 4M terrain
-# program faults the TPU at execution with pallas enabled, while every
-# pallas kernel passes standalone at 4M AND the identical program passes
-# with the jnp sweeps (r5 bisection, PERF_NOTES round 11) — an
-# XLA↔Mosaic interaction in the full program that only manifests beyond
-# ~2.56M cells (the reference's own maximum detail scale). Until the
-# root cause lands, cell counts above the ceiling trace the proven jnp
-# forms; production sizes (≤1M ladder) keep the fast kernels.
-_N_MAX = int(os.environ.get("PLANET_PALLAS_MAX_CELLS", 3_000_000))
+# Cell-count ceiling for the pallas sweep kernels. The "4M device fault"
+# that first pointed here turned out to be HBM exhaustion of the single
+# fused program (temps 15.3 GB vs 16 GB on v5e — engine.FUSED_MAX_CELLS
+# now routes big planets to the staged path; PERF_NOTES round 11), not a
+# pallas bug: every pallas kernel passes standalone at 4M. The ceiling
+# therefore sits at the f32-index exactness bound shared by the label
+# kernels; PLANET_PALLAS_MAX_CELLS can lower it for experiments.
+_N_MAX = int(os.environ.get("PLANET_PALLAS_MAX_CELLS", 1 << 24))
 
 
 def use_pallas(n: int = 0) -> bool:

@@ -155,6 +155,19 @@ def _super_device_arrays(super_sp, max_super: Optional[int] = 32):
             jnp.asarray(som), jnp.asarray(sd))
 
 
+
+# Above this cell count the single fused terrain program cannot execute on
+# one v5e chip: measured at 4M cells its XLA temp-buffer footprint is
+# 15.3 GB (+0.5 GB args +0.3 GB outputs) against 16 GB HBM, and the
+# runtime reports the OOM as a generic "TPU device error" at execution —
+# the r2..r5 "4M fault" (PERF_NOTES round 11). The staged multi-program
+# path streams the same pipeline through dozens of small programs whose
+# temps each fit easily, so big planets fall back to it. Scales roughly
+# linearly in N: 3M ≈ 12 GB total, still inside HBM with headroom.
+FUSED_MAX_CELLS = int(__import__("os").environ.get(
+    "PLANET_FUSED_MAX_CELLS", 3_000_000))
+
+
 class PlanetSetup:
     """Everything the device pipeline needs, built on host for one seed.
     Shared by the engine, the vmapped seed-batch runner (parallel/batch.py)
@@ -447,7 +460,9 @@ class PlanetEngine:
 
         prog(20, "Projecting plates…")
         stage_error = None
-        if not self._timing:
+        # big planets (> FUSED_MAX_CELLS) take the staged else-branch even
+        # on the production engine: the fused program's temps exceed HBM
+        if not self._timing and params.n_cells <= FUSED_MAX_CELLS:
             # production path: terrain is ONE jitted program, climate a
             # SECOND (pipeline/fused.py) — two dispatches, one final sync.
             # The split halves the largest executable (the dominant
@@ -648,7 +663,7 @@ class PlanetEngine:
 
         prog(20, "Eroding terrain…")
         stage_error = None
-        if not self._timing:
+        if not self._timing and params.n_cells <= FUSED_MAX_CELLS:
             # fused reapply tail: erosion in one dispatch + the shared
             # standalone climate program (same executable as generate/edit)
             from .fused import (FusedSpec, fused_post_pipeline,

@@ -49,8 +49,8 @@ SNAPSHOTS = dict(
                         0.12297, 0.24494, 0.1987, 0.00375, 0.001, 0.00225,
                         0.18645, 0.04624, 0.03049, 0.01925, 0.00625, 0.0055,
                         0.00925],
-        koppen_top={0: 0.6896, 29: 0.0442, 3: 0.0372, 19: 0.0357,
-                    6: 0.0347, 30: 0.026, 1: 0.0237, 9: 0.0197},
+        koppen_top={0: 0.6896, 29: 0.045, 6: 0.0422, 19: 0.0362,
+                    3: 0.0307, 1: 0.0272, 30: 0.0247, 9: 0.0195},
         plate_count=12,
     ),
     c20k_s123=dict(
