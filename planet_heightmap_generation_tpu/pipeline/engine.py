@@ -168,6 +168,60 @@ FUSED_MAX_CELLS = int(__import__("os").environ.get(
     "PLANET_FUSED_MAX_CELLS", 3_000_000))
 
 
+# ── mesh prefetch ────────────────────────────────────────────────────
+# The host mesh build (native Delaunay + adjacency + banded packing) is a
+# ~2 s serial prefix at 1M cells — alone exceeding the 2 s full-planet
+# budget (VERDICT r4 #5). The mesh is a pure function of
+# (n_cells, jitter, seed) and the ParkMiller stream it consumes is local
+# to the build, so sequential multi-planet generation can PIPELINE it:
+# while seed i's device program drains (an IO wait that releases the
+# GIL), a daemon thread builds seed i+1's mesh (the native builder also
+# releases the GIL during its C call). host_setup adopts a prefetched
+# mesh when the key matches; unclaimed entries are dropped on the next
+# prefetch to bound memory (~100 MB per 1M-cell graph).
+
+_MESH_PREFETCH: Dict = {}
+_MESH_LOCK = __import__("threading").Lock()
+
+
+def prefetch_mesh(params: GenerationParams) -> None:
+    """Start building the mesh for ``params`` on a background thread."""
+    import threading
+
+    key = (params.n_cells, params.jitter, params.seed)
+    with _MESH_LOCK:
+        if key in _MESH_PREFETCH:
+            return
+        stale = [k for k in _MESH_PREFETCH if k != key]
+        for k in stale:
+            _MESH_PREFETCH.pop(k, None)
+        holder = {}
+        _MESH_PREFETCH[key] = holder
+
+    def build():
+        try:
+            g = build_sphere(params.n_cells, params.jitter,
+                             rng=ParkMiller(params.seed))
+            _ = g.banded_packed     # native packing, also GIL-free
+            holder["graph"] = g
+        except Exception as e:      # pragma: no cover — adopt-side fallback
+            holder["error"] = e
+
+    t = threading.Thread(target=build, daemon=True)
+    holder["thread"] = t
+    t.start()
+
+
+def _take_prefetched_mesh(params: GenerationParams):
+    key = (params.n_cells, params.jitter, params.seed)
+    with _MESH_LOCK:
+        holder = _MESH_PREFETCH.pop(key, None)
+    if holder is None:
+        return None
+    holder["thread"].join()
+    return holder.get("graph")
+
+
 class PlanetSetup:
     """Everything the device pipeline needs, built on host for one seed.
     Shared by the engine, the vmapped seed-batch runner (parallel/batch.py)
@@ -207,9 +261,10 @@ def host_setup(params: GenerationParams, timer: Optional[StageTimer] = None,
     s.skip_climate = skip_climate
 
     prog(0, "Shaping the world…")
-    rng = ParkMiller(seed)
     with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
-        s.graph = build_sphere(params.n_cells, params.jitter, rng=rng)
+        pre = _take_prefetched_mesh(params)
+        s.graph = pre if pre is not None else build_sphere(
+            params.n_cells, params.jitter, rng=ParkMiller(seed))
         s.g = to_device(s.graph)
 
     prog(10, "Generating coarse plates…")
