@@ -516,10 +516,103 @@ def _expand_u(mask, like):
     return mask
 
 
+def propagate_stress_banded(stress, subduct, gate_stack, rem_gate,
+                            ocean_cell, band_off, band_mask, rem_src,
+                            rem_dst, decay, subduct_decay, num_passes):
+    """Stress-relax dispatcher (plain Python, like _epsilon_fill: the
+    pallas/jnp choice must be part of the jit identity, not an avals-keyed
+    trace cache). ``decay``/``subduct_decay`` must be Python floats — the
+    pallas path bakes them into the kernel."""
+    from .sweep_pallas import use_pallas
+
+    if use_pallas(stress.shape[0]):
+        return _propagate_stress_pallas(
+            stress, subduct, gate_stack, rem_gate, ocean_cell, band_off,
+            band_mask, rem_src, rem_dst, float(decay), float(subduct_decay),
+            int(num_passes))
+    return _propagate_stress_jnp(
+        stress, subduct, gate_stack, rem_gate, ocean_cell, band_off,
+        band_mask, rem_src, rem_dst, decay, subduct_decay, num_passes)
+
+
+@partial(jax.jit, static_argnames=("band_off", "num_passes", "decay",
+                                   "subduct_decay"))
+def _propagate_stress_pallas(stress, subduct, gate_stack, rem_gate,
+                             ocean_cell, band_off, band_mask, rem_src,
+                             rem_dst, decay, subduct_decay, num_passes):
+    """Pallas inner-sweep stress relax (ops/sweep_pallas.StressSweeper):
+    8 gated argmax sweeps per dispatch on the VMEM halo window — the
+    synchronous process is the monotone fixpoint
+    ``st(i) = max_s st0(s)·eff(s)^hops`` (see the kernel docstring), so
+    stale-halo inner sweeps converge to the same values; remainder edges
+    are applied once per DISPATCH (≤ inner hops late — their paths just
+    take extra dispatches; the early exit covers them). The num_passes
+    hop cap binds only at the 0.005-threshold fringe where values are
+    sub-visual, and is honored within ±2·inner hops (jnp path: exact)."""
+    from .sweep_pallas import StressSweeper
+
+    G = stress.shape[1]
+    npad = stress.shape[0]
+    real = rem_src < npad
+    src_c = jnp.clip(rem_src, 0, npad - 1)
+
+    sts, sfs = [], []
+    for g in range(G):
+        st0 = stress[:, g].astype(jnp.float32)
+        sf0 = subduct[:, g].astype(jnp.float32)
+        act0 = st0 > 0.01
+        sw = StressSweeper(band_off, npad, decay, subduct_decay)
+        rounds = -(-num_passes // sw.inner) + 2
+        state, bits = sw.prep(st0, sf0, act0, ocean_cell[:, g],
+                              gate_stack[g] & band_mask)
+        rg = rem_gate[:, g] & real
+        np8 = sw.np8
+
+        def cond(c):
+            i, _, chg = c
+            return chg & (i < rounds)
+
+        def body(c):
+            i, state, _ = c
+            new, chg = sw.sweep(state, bits)
+            s2 = new.reshape(4, np8)
+            st, sf = s2[0], s2[1]
+            act, oc = s2[2], s2[3]
+            # remainder edges: sender side read at rem_dst, two-phase
+            # scatter-argmax onto rem_src (same construction as the jnp
+            # loop, applied once per dispatch)
+            st_s, sf_s = st[rem_dst], sf[rem_dst]
+            eff = jnp.where(sf_s > 0.5, jnp.float32(subduct_decay),
+                            jnp.float32(decay))
+            prop = st_s * eff
+            ok = rg & (act[rem_dst] > 0) & (oc[rem_dst] <= 0)                 & (prop >= 0.005)
+            key = jnp.where(ok, prop, -jnp.inf)
+            w = jnp.full((np8,), -jnp.inf, jnp.float32)
+            w = w.at[rem_src].max(key, mode="drop")
+            is_win = ok & (key == w[src_c])
+            cand = jnp.where(is_win, sf_s, -jnp.inf)
+            wsf = jnp.full((np8,), -jnp.inf, jnp.float32)
+            wsf = wsf.at[rem_src].max(cand, mode="drop")
+            upd = w > st
+            st2 = jnp.where(upd, w, st)
+            sf2 = jnp.where(upd, wsf, sf)
+            act2 = jnp.maximum(act, upd.astype(jnp.float32))
+            new2 = jnp.stack([st2, sf2, act2, oc]).reshape(-1)
+            changed = (jnp.max(chg) > 0) | jnp.any(upd)
+            return i + 1, new2, changed
+
+        _, state, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state, jnp.bool_(True)))
+        st_out, sf_out = sw.finish(state)
+        sts.append(st_out)
+        sfs.append(sf_out)
+    return jnp.stack(sts, 1), jnp.stack(sfs, 1)
+
+
 @partial(jax.jit, static_argnames=("band_off", "num_passes"))
-def propagate_stress_banded(stress, subduct, gate_stack, rem_gate, ocean_cell,
-                            band_off, band_mask, rem_src, rem_dst,
-                            decay, subduct_decay, num_passes):
+def _propagate_stress_jnp(stress, subduct, gate_stack, rem_gate, ocean_cell,
+                          band_off, band_mask, rem_src, rem_dst,
+                          decay, subduct_decay, num_passes):
     """Banded drop-in for elevation.collisions.propagate_stress_multi:
     G stress layers relax together; per sweep each cell adopts the
     strongest propagated stress among gated (same-plate) neighbors, the

@@ -385,6 +385,98 @@ class FloodSweeper:
         return surf_pad.reshape(self.np8)[: self.n]
 
 
+def _make_stress_kernel(offs, h: int, decay: float, sub_decay: float,
+                        inner: int):
+    """Stress-propagation kernel (elevation/collisions stress relax): per
+    sweep each cell adopts the strongest propagated stress among gated
+    same-plate neighbors, the subduct factor riding along as an argmax
+    payload. The synchronous process equals the fixpoint
+    ``st(i) = max over origins s: st0(s) · eff(s)^hops(s,i)`` (a cell that
+    adopts also adopts the ORIGIN's sf, so its outgoing decay rate is the
+    origin's — path-independent), which is monotone-increasing, so the
+    stale-halo inner-sweep argument of _make_bfs_kernel applies unchanged.
+    Exact ties between distinct origins resolve by arrival schedule here
+    vs band order in the jnp loop (measure-zero for real float products).
+
+    State refs: [4, B] halo'd (st, sf, act, ocean); bits [1,B] gated band
+    mask. Sender gate: act>0 & ~ocean & prop ≥ 0.005; receivers adopt on
+    strict improvement and become active."""
+    def kernel(*refs):
+        k = 2 * h + 1
+        s_refs = refs[:k]
+        bits_ref, out_ref, chg_ref = refs[k:]
+        f, b = s_refs[h].shape
+        rows = b // _LANE
+        lw = _window(s_refs[:h], f) if h else None
+        rw = _window(s_refs[h + 1:], f) if h else None
+        cur = s_refs[h][:].reshape(f, rows, _LANE)
+        st0_all = cur
+        bit = bits_ref[:].reshape(1, rows, _LANE)
+        ninf = jnp.float32(-jnp.inf)
+        for _ in range(inner):
+            win = (jnp.concatenate([lw, cur, rw], axis=1) if h else cur)
+            st, sf, act = cur[0], cur[1], cur[2]
+            best = jnp.full_like(st, ninf)
+            bsf = jnp.zeros_like(sf)
+            for d, off in enumerate(offs):
+                sh = _shifted(win, h * b + off, rows)
+                n_st, n_sf, n_act, n_oc = sh[0], sh[1], sh[2], sh[3]
+                eff = jnp.where(n_sf > 0.5, jnp.float32(sub_decay),
+                                jnp.float32(decay))
+                prop = n_st * eff
+                ok = (((bit[0] >> np.uint32(d)) & np.uint32(1)) > 0) \
+                    & (n_act > 0) & (n_oc <= 0) & (prop >= 0.005)
+                key = jnp.where(ok, prop, ninf)
+                u = key > best
+                best = jnp.where(u, key, best)
+                bsf = jnp.where(u, n_sf, bsf)
+            upd = best > st
+            st = jnp.where(upd, best, st)
+            sf = jnp.where(upd, bsf, sf)
+            act = jnp.maximum(act, upd.astype(jnp.float32))
+            cur = jnp.stack([st, sf, act, cur[3]])
+        out_ref[:] = cur.reshape(f, b)
+        _accum_changed(chg_ref, cur[:3], st0_all[:3])
+    return kernel
+
+
+class StressSweeper:
+    """Stress relax for one (band_off, n) family; one layer per instance
+    (layers have distinct same-plate gates). State [4, NP8]: st, sf,
+    act(0/1), ocean(0/1 — static); gates ride the packed band bitmask."""
+
+    def __init__(self, band_off, n: int, decay: float, sub_decay: float,
+                 inner: int = 8):
+        self.band_off = tuple(band_off)
+        self.n = n
+        self.inner = inner
+        self.np8 = -(-n // BLOCK) * BLOCK
+        self.g = self.np8 // BLOCK
+        self.h = min(_halo_for_inner(band_off, inner, 4),
+                     max(1, self.g - 1))
+        self._kernel = _make_stress_kernel(self.band_off, self.h,
+                                           float(decay), float(sub_decay),
+                                           inner)
+
+    def prep(self, st, sf, act, ocean, gate):
+        state = jnp.stack([st, sf, act.astype(jnp.float32),
+                           ocean.astype(jnp.float32)])
+        state = _pad_cols(state, self.np8)
+        bits = _pad_cols(pack_band_bits(gate).reshape(1, self.n), self.np8)
+        return state.reshape(-1), bits
+
+    def sweep(self, state_flat, bits):
+        s2 = state_flat.reshape(4, self.np8)
+        specs = _specs(4, self.g, self.h) + _specs(1, self.g, 0)
+        args = tuple([s2] * (2 * self.h + 1)) + (bits,)
+        new, chg = _call(self._kernel, 4, self.g, specs, args)
+        return new.reshape(-1), chg
+
+    def finish(self, state_flat):
+        s2 = state_flat.reshape(4, self.np8)[:, :self.n]
+        return s2[0], s2[1]
+
+
 def _make_smooth_kernel(offs, h: int, masked: bool):
     """Laplacian-smoothing pass: out = (field + Σ_masked nbrs + remsum)·inv,
     restricted to mask cells when ``masked`` (non-mask cells pass through
