@@ -184,11 +184,20 @@ _MESH_PREFETCH: Dict = {}
 _MESH_LOCK = __import__("threading").Lock()
 
 
+def _prefetch_key(params: GenerationParams):
+    return params.replace(skip_climate=None)
+
+
 def prefetch_mesh(params: GenerationParams) -> None:
-    """Start building the mesh for ``params`` on a background thread."""
+    """Start building the host prologue for ``params`` on a background
+    thread: always the hi-res mesh + banded packing; for toggle-free
+    params also the coarse tectonics, super plates, hotspot domes and
+    noise tables (all pure host functions of the params — plate toggles
+    mutate the coarse products mid-setup, so toggled paths prefetch the
+    mesh only)."""
     import threading
 
-    key = (params.n_cells, params.jitter, params.seed)
+    key = _prefetch_key(params)
     with _MESH_LOCK:
         if key in _MESH_PREFETCH:
             return
@@ -204,6 +213,21 @@ def prefetch_mesh(params: GenerationParams) -> None:
                              rng=ParkMiller(params.seed))
             _ = g.banded_packed     # native packing, also GIL-free
             holder["graph"] = g
+            if not params.toggled_indices:
+                coarse = generate_coarse_plates(
+                    params.seed, params.n_plates, params.num_continents,
+                    params.continent_size_variety, params.land_coverage)
+                plates = coarse.plates
+                original = plates.is_ocean.copy()
+                assign_plate_densities(plates)
+                super_sp = None
+                if params.n_plates >= 8:
+                    super_sp = build_super_plates(
+                        coarse.graph, coarse.r_plate, plates)
+                domes, noise_pack, warp_t = _host_prologue(
+                    g, coarse, plates, params.seed, params.n_plates)
+                holder["coarse"] = (coarse, original, super_sp, domes,
+                                    noise_pack, warp_t)
         except Exception as e:      # pragma: no cover — adopt-side fallback
             holder["error"] = e
 
@@ -213,13 +237,15 @@ def prefetch_mesh(params: GenerationParams) -> None:
 
 
 def _take_prefetched_mesh(params: GenerationParams):
-    key = (params.n_cells, params.jitter, params.seed)
+    """Returns (graph | None, coarse-products | None), joining the build
+    thread if it is still running."""
+    key = _prefetch_key(params)
     with _MESH_LOCK:
         holder = _MESH_PREFETCH.pop(key, None)
     if holder is None:
-        return None
+        return None, None
     holder["thread"].join()
-    return holder.get("graph")
+    return holder.get("graph"), holder.get("coarse")
 
 
 class PlanetSetup:
@@ -262,12 +288,29 @@ def host_setup(params: GenerationParams, timer: Optional[StageTimer] = None,
 
     prog(0, "Shaping the world…")
     with timer.stage("Sphere mesh (Fibonacci + Delaunay + pole)"):
-        pre = _take_prefetched_mesh(params)
+        pre, pre_coarse = _take_prefetched_mesh(params)
         s.graph = pre if pre is not None else build_sphere(
             params.n_cells, params.jitter, rng=ParkMiller(seed))
         s.g = to_device(s.graph)
 
     prog(10, "Generating coarse plates…")
+    if pre_coarse is not None and not params.toggled_indices:
+        (s.coarse, s.original_is_ocean, s.super_sp, s.domes,
+         s.noise_pack, s.warp_t) = pre_coarse
+        plates = s.plates = s.coarse.plates
+        with timer.stage("Hotspot domes + noise tables"):
+            pass    # all prefetched
+        p_arrays = _plate_device_arrays(plates)
+        sup_arrays = _super_device_arrays(s.super_sp, max_super)
+        s.spec = FusedSpec.of(
+            params, plates.num_plates, sup_arrays is not None,
+            bool(s.domes), s.coarse.bins.n_lat, s.coarse.bins.n_lon,
+            skip_climate)
+        s.args = (s.g, projection_inputs(s.coarse, seed, params.n_plates),
+                  p_arrays, sup_arrays, s.domes, s.noise_pack, s.warp_t,
+                  tables(seed), jnp.asarray(s.graph.triangles),
+                  jnp.uint32(seed))
+        return s
     with timer.stage("Coarse plates"):
         s.coarse = generate_coarse_plates(
             seed, params.n_plates, params.num_continents,
