@@ -477,6 +477,90 @@ class StressSweeper:
         return s2[0], s2[1]
 
 
+def _make_warp_kernel(offs, h: int, inner: int):
+    """Nearest-candidate propagation for the terrain domain warp
+    (erosion/warp.py): each cell carries its best source-cell candidate
+    (index + position) and adopts any band neighbor's candidate that lies
+    closer to its OWN warped target point w. Monotone-decreasing per-cell
+    distance → the stale-halo inner-sweep argument applies; the assignment
+    at schedule-sensitive cells (two candidates at equal distance within
+    float noise) may differ from the synchronous jnp loop by one adjacent
+    source cell — sub-edge-length displacement, tolerance-tested.
+
+    Refs: (2h+1) state blocks [4,B] (src_idx, src_pos xyz), w [3,B]
+    center-only, bits [1,B], out [4,B], chg."""
+    def kernel(*refs):
+        k = 2 * h + 1
+        s_refs = refs[:k]
+        w_ref, bits_ref, out_ref, chg_ref = refs[k:]
+        f, b = s_refs[h].shape
+        rows = b // _LANE
+        lw = _window(s_refs[:h], f) if h else None
+        rw = _window(s_refs[h + 1:], f) if h else None
+        cur = s_refs[h][:].reshape(f, rows, _LANE)
+        cur0 = cur
+        w = w_ref[:].reshape(3, rows, _LANE)
+        bit = bits_ref[:].reshape(1, rows, _LANE)[0]
+        for _ in range(inner):
+            win = (jnp.concatenate([lw, cur, rw], axis=1) if h else cur)
+            dx = cur[1] - w[0]
+            dy = cur[2] - w[1]
+            dz = cur[3] - w[2]
+            best = dx * dx + dy * dy + dz * dz
+            out = cur
+            for d, off in enumerate(offs):
+                sh = _shifted(win, h * b + off, rows)
+                cx = sh[1] - w[0]
+                cy = sh[2] - w[1]
+                cz = sh[3] - w[2]
+                cd = cx * cx + cy * cy + cz * cz
+                m = ((bit >> np.uint32(d)) & np.uint32(1)) > 0
+                u = m & (cd < best)
+                best = jnp.where(u, cd, best)
+                out = jnp.where(u[None], sh, out)
+            cur = out
+        out_ref[:] = cur.reshape(f, b)
+        _accum_changed(chg_ref, cur[:1], cur0[:1])
+    return kernel
+
+
+class WarpSweeper:
+    """Warp nearest-candidate sweep for one (band_off, n) family.
+    State [4, NP8]: src_idx (f32 cell index, exact < 2^24), src_pos xyz;
+    targets w [3, NP8] are loop-invariant."""
+
+    def __init__(self, band_off, n: int, inner: int = 8):
+        self.band_off = tuple(band_off)
+        self.n = n
+        self.inner = inner
+        self.np8 = -(-n // BLOCK) * BLOCK
+        self.g = self.np8 // BLOCK
+        self.h = min(_halo_for_inner(band_off, inner, 4),
+                     max(1, self.g - 1))
+        self._kernel = _make_warp_kernel(self.band_off, self.h, inner)
+
+    def prep(self, pos, w, band_mask):
+        n = self.n
+        idx = jnp.arange(n, dtype=jnp.float32)
+        state = jnp.concatenate([idx[None], pos.T], axis=0)    # [4, N]
+        state = _pad_cols(state, self.np8)
+        w_p = _pad_cols(w.T, self.np8)
+        bits = _pad_cols(pack_band_bits(band_mask).reshape(1, n), self.np8)
+        return state.reshape(-1), w_p, bits
+
+    def sweep(self, state_flat, w_p, bits):
+        s2 = state_flat.reshape(4, self.np8)
+        specs = (_specs(4, self.g, self.h) + _specs(3, self.g, 0)
+                 + _specs(1, self.g, 0))
+        args = tuple([s2] * (2 * self.h + 1)) + (w_p, bits)
+        new, chg = _call(self._kernel, 4, self.g, specs, args)
+        return new.reshape(-1), chg
+
+    def finish(self, state_flat):
+        s2 = state_flat.reshape(4, self.np8)[:, :self.n]
+        return s2[0], s2[1:4].T     # idx [N] f32, pos [N,3]
+
+
 def _make_smooth_kernel(offs, h: int, masked: bool):
     """Laplacian-smoothing pass: out = (field + Σ_masked nbrs + remsum)·inv,
     restricted to mask cells when ``masked`` (non-mask cells pass through

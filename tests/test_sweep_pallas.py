@@ -273,3 +273,32 @@ def test_stress_pallas_matches_jnp(small_graph):
     assert frac == 1.0, f"stress mismatch on {(~(match | ~core)).sum()} cells"
     sf_match = np.isclose(a_sf, b_sf, atol=1e-6) | ~match
     assert sf_match.mean() > 0.999
+
+
+def test_warp_pallas_matches_jnp(small_graph):
+    """Domain-warp candidate propagation: pallas inner sweeps vs the
+    synchronous jnp loop. Equal-distance ties resolve by schedule, so the
+    comparison is on the MERGED elevation (sub-edge-length assignment
+    differences move a cell's source at most one ring) with a small
+    mismatch allowance."""
+    from planet_heightmap_generation_tpu.erosion.warp import (
+        _warp_terrain_pallas, _warp_terrain_jnp)
+    from planet_heightmap_generation_tpu.ops.noise import tables, fbm
+
+    g, gd = small_graph
+    t = tables(7.0)
+    pos = gd.pos
+    elev = fbm(t, pos[:, 0] * 3, pos[:, 1] * 3, pos[:, 2] * 3, 4) * 0.5
+    elev = jnp.where(gd.valid, elev, 0.0)
+    hot = jnp.zeros_like(elev)
+    a = np.asarray(_warp_terrain_jnp(
+        elev, pos, gd.valid, *gd.bands, noise_t=tables(9.0),
+        strength=jnp.float32(0.5), hotspot=hot, max_steps=20))
+    with pltpu.force_tpu_interpret_mode(), force_pallas():
+        b = np.asarray(_warp_terrain_pallas(
+            elev, pos, gd.valid, *gd.bands, noise_t=tables(9.0),
+            strength=jnp.float32(0.5), hotspot=hot, max_steps=20))
+    close = np.isclose(a, b, atol=1e-5)
+    assert close.mean() > 0.995, f"warp mismatch on {(~close).sum()} cells"
+    # and the differing cells still carry plausible warped elevations
+    assert np.abs(a - b).max() < 0.5
