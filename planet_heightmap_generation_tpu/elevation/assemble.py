@@ -619,16 +619,28 @@ def assign_elevation(
     # fields saturate at their caps beyond that — far cells plateau smoothly
     # instead of carrying exact distances nothing downstream can see.
     interior_band, tectonic_reach, h_far, bfs_hops = distance_bfs_caps(sf_res)
+    # dist_coast (the ocean-floor field) is split out of the multi-field
+    # loop: its only consumers branch at 5/12 raw hops (ocean_floor_profile
+    # and the margins layer), so a 13.0 value cap makes it converge in a
+    # handful of sweeps while the long-range fields run to h_far — the
+    # remaining 4-field loop does 4/5 of the select work per sweep over
+    # the same dispatch count (per-field results are independent, so the
+    # split is bit-identical on the jnp path). Salt k=4 stays with the
+    # coast field to keep every rand-cost stream unchanged.
     dists = bfs_hops_multi_banded(
-        jnp.stack([stress_mountain, ocean_seeds, coastline, coast_seeds,
+        jnp.stack([stress_mountain, ocean_seeds, coastline,
                    land_coast_seeds], 1),
-        jnp.stack([ocean_seeds, coastline, stop_r, no_barrier,
-                   r_is_ocean], 1),
+        jnp.stack([ocean_seeds, coastline, stop_r, r_is_ocean], 1),
         *g.bands, max_hops=bfs_hops,
-        rand_cost=jnp.stack([rand_cost(k) for k in range(1, 6)], 1),
+        rand_cost=jnp.stack([rand_cost(k) for k in (1, 2, 3, 5)], 1),
         # pallas path: VALUE cap at the consumer saturation point — exact
         # min(true_dist, h_far), no (0.65·h_far, h_far) overestimate band
         value_cap=h_far)
+    dists_dc = bfs_hops_multi_banded(
+        coast_seeds[:, None], no_barrier[:, None],
+        *g.bands, max_hops=min(bfs_hops, 28),
+        rand_cost=rand_cost(4)[:, None],
+        value_cap=13.0)
 
     def _saturate(d, seed_col, barrier, cap):
         # finite → clamp at cap; capped-out → cap (unless a barrier cell,
@@ -643,13 +655,15 @@ def assign_elevation(
                               h_far)
     dist_ocean = _saturate(dists[:, 1], ocean_seeds, coastline, h_far)
     dist_coastline = _saturate(dists[:, 2], coastline, stop_r, h_far)
-    dist_coast = dists[:, 3]  # consumers branch at 5/12 hops; inf = abyss
-    dist_coast_land = _saturate(dists[:, 4], land_coast_seeds, r_is_ocean,
+    dist_coast = dists_dc[:, 0]  # branches at 5/12 hops; ≥13 and inf = abyss
+    dist_coast_land = _saturate(dists[:, 3], land_coast_seeds, r_is_ocean,
                                 float(interior_band + 1))
 
     if trunc == "bfs5":
         probe = sum(jnp.where(jnp.isfinite(dists[:, i]), dists[:, i], 0.0)
-                    for i in range(5))
+                    for i in range(4))
+        probe = probe + jnp.where(jnp.isfinite(dists_dc[:, 0]),
+                                  dists_dc[:, 0], 0.0)
         return _probe_result(g, probe, col, stress, subduct)
 
     max_stress = _stress_p97(stress, g.valid)
