@@ -46,9 +46,9 @@ SNAPSHOTS = dict(
     c4k_s123=dict(
         land_fraction=0.31042,
         elevation_hist=[0.0, 0.0, 0.0, 0.0055, 0.02424, 0.03274, 0.06048,
-                        0.12297, 0.24494, 0.1987, 0.00375, 0.001, 0.00225,
-                        0.18645, 0.04624, 0.03049, 0.01925, 0.00625, 0.0055,
-                        0.00925],
+                        0.12297, 0.24494, 0.1987, 0.02899, 0.02649, 0.04699,
+                        0.09198, 0.04574, 0.03024, 0.019, 0.00625, 0.00525,
+                        0.0095],
         koppen_top={0: 0.6896, 29: 0.045, 6: 0.0422, 19: 0.0362,
                     3: 0.0307, 1: 0.0272, 30: 0.0247, 9: 0.0195},
         plate_count=12,

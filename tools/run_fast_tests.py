@@ -53,13 +53,17 @@ GROUPS = [
     ("parallel", ["test_parallel.py"]),
 ]
 
-# Measured on this 1-core host (2026-08-21): kernels 2:05, terrain 6:00,
-# climate 0:35, product 9:40, fused 27:30, parallel ~8:00 — ~54 min
-# total. The fused group is XLA:CPU compile-bound on the fused terrain /
-# climate / reapply / edit programs plus the staged comparison set; a
-# PLANET_BAND_COUNT=8 experiment did NOT shrink it (29:24 — the compile
-# cost is program structure, not band unroll), so the group keeps the
-# production band count.
+# Measured on this 1-core host (2026-08-21, r5 layout): kernels 2:59,
+# terrain 5:41, climate 0:46, product(+fused+parity) 29:19, parallel
+# ~10:45 — ~50 min total (was ~54 before the merge; the fused
+# editRecompute equivalence moved to the slow tier, −7 min, and the
+# duplicate staged compile set is gone). The floor is XLA:CPU compile
+# time for the fused terrain+climate programs (~9 min — ONE HLO-pass-
+# bound module; --xla_backend_optimization_level=1 does not help, nor
+# does PLANET_BAND_COUNT=8: the cost is XLA passes on program structure)
+# plus the staged kernel set (~9 min) — both irreducible without testing
+# less. The 15-minute pre-commit check is the affected GROUP, not the
+# full tier: every group but product runs in ≤6 min.
 
 _TALLY = re.compile(
     r"(?:(\d+) passed)?(?:, )?(?:(\d+) failed)?(?:, )?"
