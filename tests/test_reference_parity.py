@@ -54,33 +54,33 @@ SNAPSHOTS = dict(
         plate_count=12,
     ),
     c20k_s123=dict(
-        land_fraction=0.28279,
-        elevation_hist=[0.0, 0.0, 0.0014, 0.0109, 0.05615, 0.082, 0.19854,
-                        0.12154, 0.16224, 0.08445, 0.0213, 0.02255, 0.08875,
-                        0.07845, 0.0355, 0.01875, 0.00945, 0.00395, 0.00185,
-                        0.00225],
-        koppen_top={0: 0.7172, 6: 0.0604, 3: 0.0502, 1: 0.0347,
-                    29: 0.031, 19: 0.0223, 30: 0.018, 4: 0.0158},
+        land_fraction=0.28229,
+        elevation_hist=[0.0, 0.0, 0.0013, 0.0114, 0.0556, 0.08285, 0.19824,
+                        0.12289, 0.15854, 0.0869, 0.0213, 0.02165, 0.0887,
+                        0.07955, 0.034, 0.01925, 0.00945, 0.0042, 0.00175,
+                        0.00245],
+        koppen_top={0: 0.7177, 6: 0.0613, 3: 0.0491, 1: 0.0327,
+                    29: 0.0308, 19: 0.0231, 30: 0.0181, 4: 0.0166},
         plate_count=40,
     ),
     c40k_s42=dict(
         land_fraction=0.27969,
-        elevation_hist=[0.0, 0.0, 0.0011, 0.00722, 0.05762, 0.0896, 0.23969,
-                        0.1229, 0.1276, 0.07457, 0.00327, 0.0602, 0.06822,
-                        0.07297, 0.04165, 0.0198, 0.0081, 0.00302, 0.00147,
+        elevation_hist=[0.0, 0.0, 0.0011, 0.0071, 0.0557, 0.08825, 0.24294,
+                        0.123, 0.12765, 0.07457, 0.02685, 0.03662, 0.06375,
+                        0.0751, 0.0426, 0.02082, 0.00842, 0.003, 0.00155,
                         0.00097],
-        koppen_top={0: 0.7203, 1: 0.0386, 29: 0.0332, 19: 0.0317,
-                    6: 0.0266, 3: 0.0256, 8: 0.0246, 30: 0.0195},
+        koppen_top={0: 0.7203, 1: 0.039, 29: 0.033, 19: 0.0318,
+                    6: 0.0276, 3: 0.0254, 8: 0.0231, 30: 0.0201},
         plate_count=80,
     ),
     c40k_s7=dict(
         land_fraction=0.28887,
-        elevation_hist=[0.0, 0.0, 0.00047, 0.00795, 0.0612, 0.0851, 0.20439,
-                        0.12595, 0.14657, 0.0795, 0.00372, 0.0696, 0.06232,
-                        0.07357, 0.04262, 0.02037, 0.00967, 0.00412, 0.00167,
+        elevation_hist=[0.0, 0.0, 0.00045, 0.00785, 0.0596, 0.0849, 0.20584,
+                        0.12642, 0.14657, 0.0795, 0.03165, 0.0414, 0.05817,
+                        0.07535, 0.0448, 0.0205, 0.01, 0.00412, 0.0017,
                         0.00117],
-        koppen_top={0: 0.7111, 1: 0.0576, 6: 0.0382, 3: 0.033,
-                    19: 0.0247, 29: 0.0237, 4: 0.0193, 30: 0.0179},
+        koppen_top={0: 0.7111, 1: 0.0557, 6: 0.0387, 3: 0.0336,
+                    19: 0.0242, 29: 0.0242, 4: 0.0192, 30: 0.018},
         plate_count=80,
     ),
 )
