@@ -57,15 +57,24 @@ def verify(configs):
             [sys.executable, os.path.abspath(__file__), "--one", cfg],
             cwd=REPO)
         new = _entries() - pre
+        # entries <1 MB are trivial eager-op programs around jax's 1 s
+        # persistent-cache write threshold — a varying subset gets written
+        # each run (load-dependent compile times), so only >1 MB programs
+        # count as real prewarm gaps (same rule as bench.py cache delta)
+        big = sorted(e.split("-")[0] for e in new
+                     if os.path.getsize(os.path.join(CACHE, e)) > (1 << 20))
         dt = time.monotonic() - t0
         if r.returncode != 0:
             print(f"[verify] config {cfg}: subprocess rc={r.returncode} FAIL")
             ok = False
-        elif new:
-            names = sorted(e.split("-")[0] for e in new)
-            print(f"[verify] config {cfg}: {len(new)} NEW cache entries "
-                  f"({', '.join(names)}) — prewarm INCOMPLETE ({dt:.0f}s)")
+        elif big:
+            print(f"[verify] config {cfg}: {len(big)} NEW real programs "
+                  f"({', '.join(big)}) — prewarm INCOMPLETE ({dt:.0f}s)")
             ok = False
+        elif new:
+            print(f"[verify] config {cfg}: clean ({len(new)} sub-MB "
+                  f"utility programs — threshold noise; {dt:.0f}s)",
+                  flush=True)
         else:
             print(f"[verify] config {cfg}: clean deserialize, "
                   f"zero new entries ({dt:.0f}s)", flush=True)
