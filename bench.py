@@ -254,10 +254,14 @@ def _bench_sweep(engine, seed):
     per_seed, r = _run_once(engine, params.replace(seed=seed + 1))
     _emit("sweep1_4m_cells_per_s", round(4_000_000 / per_seed), "cells/s",
           round(30.0 / per_seed, 2))
-    n_sweep = int(min(15, (_remaining() - 90) // max(per_seed, 1.0)))
+    # extra sweep seeds only with budget beyond a ~240 s tail reserve: the
+    # default-config and config-2 rungs still need their deserialize +
+    # warms after this (r5 rehearsal: a second 4M seed costs ~95 s and
+    # starved the whole tail)
+    n_sweep = int(min(15, (_remaining() - 240) // max(per_seed, 1.0)))
     walls = [per_seed]
     for i in range(n_sweep):
-        if _remaining() < per_seed + 60:
+        if _remaining() < per_seed + 240:
             break
         prefetch_mesh(params.replace(seed=seed + 3 + i))
         wall, r = _run_once(engine, params.replace(seed=seed + 2 + i))
