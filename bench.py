@@ -245,7 +245,12 @@ def _bench_sweep(engine, seed):
     from planet_heightmap_generation_tpu.mesh.device import to_device
 
     params = GenerationParams(seed=seed, n_cells=4_000_000, skip_climate=True)
-    _run_once(engine, params)  # warmup/compile at the 4M shapes
+    wu, _ = _run_once(engine, params)  # warmup/compile at the 4M shapes
+    # the warmup wall is itself evidence (deserialize + one staged 4M run):
+    # the tunnel has 2-4x variance on this rung and a slow warmup can eat
+    # the whole child budget before the warm seed measures
+    _emit("sweep_warmup_4m_wall_s_cold", round(wu, 3), "s",
+          round(30.0 / wu, 2))
     if _remaining() < 40:
         return
     # one measured warm seed FIRST: config 5 always emits a real number
@@ -325,11 +330,15 @@ def main():
                 # (ADVICE r4). The tunneled backend allows a second client
                 # while the parent's sits idle (verified).
                 import subprocess
+                # hard-cap the child: the 4M rung has 2-4x tunnel variance
+                # (r5 rehearsals: 200 s and 435 s for identical work) and
+                # an unlucky run must not starve the d/2 tail rungs
+                child_budget = max(min(_remaining() - 170, 330), 60)
                 env = dict(os.environ, BENCH_CONFIG="5",
-                           BENCH_BUDGET_S=str(max(_remaining() - 5, 30)))
+                           BENCH_BUDGET_S=str(child_budget))
                 rc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)], env=env,
-                    timeout=max(_remaining(), 60)).returncode
+                    timeout=child_budget + 45).returncode
                 if rc != 0:
                     print(f"[bench] config 5 subprocess rc={rc}",
                           file=sys.stderr, flush=True)
