@@ -53,11 +53,11 @@ GROUPS = [
     ("parallel", ["test_parallel.py"]),
 ]
 
-# Measured on this 1-core host (2026-08-21, r5 layout): kernels 2:59,
-# terrain 5:41, climate 0:46, product(+fused+parity) 29:19, parallel
-# ~10:45 — ~50 min total (was ~54 before the merge; the fused
-# editRecompute equivalence moved to the slow tier, −7 min, and the
-# duplicate staged compile set is gone). The floor is XLA:CPU compile
+# Measured on this 1-core host (2026-08-21, r5 layout, uncontended):
+# kernels 2:26, terrain 5:00, climate 0:33, product(+fused+parity)
+# 19:04, parallel 6:05 — 33:57 total, 185 passed (was ~54 min / 173
+# tests in r4; the fused editRecompute equivalence moved to the slow
+# tier and the duplicate staged compile set is gone). The floor is XLA:CPU compile
 # time for the fused terrain+climate programs (~9 min — ONE HLO-pass-
 # bound module; --xla_backend_optimization_level=1 does not help, nor
 # does PLANET_BAND_COUNT=8: the cost is XLA passes on program structure)
