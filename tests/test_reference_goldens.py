@@ -548,3 +548,93 @@ def test_thermal_talus_goldens():
         jnp.asarray(band_dist), rem_src, rem_dst, rem_dist,
         jnp.float32(0.3), jnp.float32(0.5)))
     np.testing.assert_allclose(got, gentle, atol=1e-7)
+
+
+# ── tranche 4: smoothing / sharpening / creep goldens ──────────────────
+
+def test_smooth_elevation_goldens():
+    """Bilateral smoothing, js/terrain-post.js:317-354: weight
+    1/(1+8|Δh|), coastline-LAND cells locked, ocean cells still movable."""
+    from planet_heightmap_generation_tpu.erosion.smooth import (
+        smooth_elevation)
+
+    band_off, band_mask, _, rem_src, rem_dst, _ = _line_graph()
+    n = 8
+    valid = jnp.ones(n, bool)
+    elev = np.zeros(n, np.float32)
+    elev[1] = 0.5
+    # all land: peak pulls toward neighbor average with bilateral weights
+    got = np.asarray(smooth_elevation(
+        jnp.asarray(elev), jnp.zeros(n, bool), valid, band_off, band_mask,
+        rem_src, rem_dst, 1, jnp.float32(0.4)))
+    want = np.zeros(n, np.float32)
+    # line END (cell 0) sees only the peak: w=0.2, avg=0.5 → 0.5·0.4
+    want[0] = 0.2
+    # peak: both neighbors 0 → avg 0 → 0.5 − 0.5·0.4
+    want[1] = 0.3
+    # cell 2 has TWO neighbors: w(peak)=0.2, w(zero)=1 → avg 0.1/1.2
+    want[2] = (0.1 / 1.2) * 0.4
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # ocean neighbor: land cell 1 is coastline-locked; the OCEAN cell 0
+    # itself still smooths (the reference locks only land)
+    elev2 = np.zeros(n, np.float32)
+    elev2[0], elev2[1] = -0.1, 0.5
+    is_ocean = np.zeros(n, bool)
+    is_ocean[0] = True
+    got = np.asarray(smooth_elevation(
+        jnp.asarray(elev2), jnp.asarray(is_ocean), valid, band_off,
+        band_mask, rem_src, rem_dst, 1, jnp.float32(0.4)))
+    want = np.zeros(n, np.float32)
+    want[0] = -0.1 + (0.5 - (-0.1)) * 0.4          # 0.14
+    want[1] = 0.5                                   # locked
+    # cell 2: w(peak)=0.2, w(zero nbr)=1.0 → avg 0.1/1.2
+    want[2] = (0.1 / 1.2) * 0.4
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharpen_ridges_goldens():
+    """Ridge sharpening, js/terrain-post.js:713-751: above-average land
+    cells push away from the mean, capped at 1.5x the ORIGINAL height."""
+    from planet_heightmap_generation_tpu.erosion.smooth import sharpen_ridges
+
+    band_off, band_mask, _, rem_src, rem_dst, _ = _line_graph()
+    n = 8
+    valid = jnp.ones(n, bool)
+    elev = np.zeros(n, np.float32)
+    elev[1] = 0.5
+    got = np.asarray(sharpen_ridges(
+        jnp.asarray(elev), jnp.zeros(n, bool), valid, band_off, band_mask,
+        rem_src, rem_dst, 1, jnp.float32(0.5)))
+    want = np.zeros(n, np.float32)
+    want[1] = 0.75          # 0.5 + 0.5·0.5, exactly at the 1.5x cap
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # stronger push hits the cap
+    got = np.asarray(sharpen_ridges(
+        jnp.asarray(elev), jnp.zeros(n, bool), valid, band_off, band_mask,
+        rem_src, rem_dst, 1, jnp.float32(0.8)))
+    assert abs(float(got[1]) - 0.75) < 1e-6         # capped, not 0.9
+
+
+def test_soil_creep_goldens():
+    """Soil creep, js/terrain-post.js:758-794: plain Laplacian toward the
+    LAND-neighbor average, interior land only (coastline locked)."""
+    from planet_heightmap_generation_tpu.erosion.smooth import (
+        apply_soil_creep)
+
+    band_off, band_mask, _, rem_src, rem_dst, _ = _line_graph()
+    n = 8
+    valid = jnp.ones(n, bool)
+    elev = np.zeros(n, np.float32)
+    elev[0], elev[1] = -0.1, 0.5
+    is_ocean = np.zeros(n, bool)
+    is_ocean[0] = True
+    got = np.asarray(apply_soil_creep(
+        jnp.asarray(elev), jnp.asarray(is_ocean), valid, band_off,
+        band_mask, rem_src, rem_dst, 1, jnp.float32(0.1125)))
+    want = elev.copy()
+    # cell 1 is coastal-locked, cell 0 is ocean (untouched); cell 2's
+    # land-neighbor average is (0.5 + 0)/2
+    want[2] = 0.0 + (0.25 - 0.0) * 0.1125
+    np.testing.assert_allclose(got, want, atol=1e-6)
