@@ -638,3 +638,35 @@ def test_soil_creep_goldens():
     # land-neighbor average is (0.5 + 0)/2
     want[2] = 0.0 + (0.25 - 0.0) * 0.1125
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_glaciation_index_goldens():
+    """Latitude/elevation glaciation index, js/terrain-post.js:410-428:
+    smoothstep(polar, thresholdLat, 90°) vs 0.3·elevFactor·(0.3+0.7·
+    latScale), times strength, land only; the reference reads the Y axis
+    as the pole axis. Expected values hand-evaluated in float64."""
+    from planet_heightmap_generation_tpu.erosion.glacial import (
+        glaciation_index)
+
+    s60, s80 = math.sin(math.pi / 3), math.sin(80 * math.pi / 180)
+    rows = [
+        # (y, elev, strength, is_ocean, expected)
+        (1.0, 0.3, 1.0, False, 1.0),            # pole: latFactor 1
+        (s60, 0.7, 1.0, False, 0.15625),        # 60°: lat t=0.25 wins
+        (0.0, 1.0, 1.0, False, 0.09),           # equator: elevation path
+        (s80, 0.2, 0.5, False, 0.25),           # strength moves threshold
+        (0.5, 0.6, 0.8, False, 0.01398),        # 30°: scaled elev path
+        (1.0, 0.3, 1.0, True, 0.0),             # ocean masked
+    ]
+    y = np.array([r[0] for r in rows], np.float32)
+    pos = np.stack([np.sqrt(np.maximum(0, 1 - y * y)), y,
+                    np.zeros_like(y)], axis=1)
+    elev = jnp.asarray([r[1] for r in rows], jnp.float32)
+    oc = jnp.asarray([r[3] for r in rows])
+    valid = jnp.ones(len(rows), bool)
+    for s in sorted({r[2] for r in rows}):
+        idx = [i for i, r in enumerate(rows) if r[2] == s]
+        got = np.asarray(glaciation_index(
+            jnp.asarray(pos), elev, oc, valid, jnp.float32(s)))
+        for i in idx:
+            assert abs(got[i] - rows[i][4]) < 2e-6, (i, got[i], rows[i][4])
