@@ -670,3 +670,130 @@ def test_glaciation_index_goldens():
             jnp.asarray(pos), elev, oc, valid, jnp.float32(s)))
         for i in idx:
             assert abs(got[i] - rows[i][4]) < 2e-6, (i, got[i], rows[i][4])
+
+
+def test_temperature_kernel_goldens():
+    """Per-cell temperature contract, js/temperature.js:100-210: two-curve
+    ITCZ/flat base blend (28 − 47·t^1.4 beyond the 13° tropical plateau),
+    moisture lapse 4.5+4.8·(1−p) °C/km on elevToHeightKm, ocean SST shift
+    warmth·min(1,2·speed)·16, coastal diffused warmth ×(1−smoothstep(0,
+    0.95,pCont))·20, cloud moderation ±15%, and the maritime/continental
+    seasonal swing (deviation + ±12°·latitude boost, ×(0.50+0.70·cont)).
+    Expected values hand-evaluated in float64 from the reference formula
+    with a flat ITCZ at 0° (itcz_lats = zeros)."""
+    from planet_heightmap_generation_tpu.climate.temperature import (
+        _temperature_kernel)
+
+    DEG = math.pi / 180
+    itcz0 = jnp.zeros(72, jnp.float32)
+
+    # (lat°, elev, land, cont, p_cont, warmth, speed, precip, cw, off, expect)
+    summer_rows = [
+        # equator ocean: both curves on the tropical plateau, zero swing
+        (0.0, -0.5, False, 0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 28.0),
+        # warm current +8 °C SST, halved by the maritime factor at cont=0
+        (0.0, -0.5, False, 0.0, 0.0, 1.0, 0.25, 0.5, 0.0, 0.0, 32.0),
+        # dry mountain: lapse 9.3·1.125 km, clear-sky ×1.15, interior ×1.2
+        (0.0, 0.5, True, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 20.69425),
+        # 45°N land summer: +12°·smoothstep(10,55,45) boost ×1.2
+        (45.0, 0.0, True, 1.0, 0.0, 0.0, 0.0, 0.4, 0.0, 0.0, 26.83531),
+        # 65°S in sim-summer = LOCAL winter: boost sign flips
+        (-65.0, 0.0, True, 1.0, 0.0, 0.0, 0.0, 0.4, 0.0, 0.0, -15.38977),
+        # heavy cloud moderates toward zero (×(1−0.896·0.15))
+        (0.0, -0.5, False, 0.0, 0.0, 0.0, 0.0, 0.9, 0.0, 0.0, 26.11840),
+        # coastal land warmed by diffused ocean warmth, faded by pCont
+        (30.0, 0.1, True, 0.2, 0.3, 0.0, 0.0, 0.5, 0.8, 0.0, 33.33431),
+        # temperatureOffset is a plain final add (after the swing)
+        (0.0, -0.5, False, 0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 3.0, 31.0),
+    ]
+    # winter season: the flat reference curve sits at −5°, local summer
+    # flips hemisphere (60°N in winter gets the −boost)
+    winter_rows = [
+        (60.0, -0.5, False, 0.0, 0.0, 0.0, 0.0, 0.4, 0.0, 0.0, -2.01176),
+    ]
+    for rows, is_summer in ((summer_rows, True), (winter_rows, False)):
+        lat = jnp.asarray([r[0] * DEG for r in rows], jnp.float32)
+        lon = jnp.zeros(len(rows), jnp.float32)
+        got = np.asarray(_temperature_kernel(
+            lat, lon,
+            jnp.asarray([r[1] for r in rows], jnp.float32),
+            jnp.asarray([r[2] for r in rows]),
+            jnp.asarray([r[3] for r in rows], jnp.float32),
+            jnp.asarray([r[4] for r in rows], jnp.float32),
+            itcz0,
+            jnp.asarray([r[5] for r in rows], jnp.float32),
+            jnp.asarray([r[6] for r in rows], jnp.float32),
+            jnp.asarray([r[7] for r in rows], jnp.float32),
+            jnp.asarray([r[8] for r in rows], jnp.float32),
+            jnp.asarray([r[9] for r in rows], jnp.float32),
+            is_summer=is_summer))
+        want = np.array([r[10] for r in rows], np.float64)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_stress_propagation_goldens():
+    """Stress BFS contract, js/elevation.js:127-159 via the production
+    banded sweep (propagate_stress_banded ≡ propagate_stress_multi, see
+    test_banded.py): per hop the strongest same-plate neighbor's stress
+    decays by `decay` (or `subduct_decay` when the SOURCE's subduct factor
+    >0.5 — the factor rides along with the front), propagation stops below
+    the 0.005 cutoff and never leaves ocean-plate cells. The caller derives
+    decay = (0.5+spread·0.04)^(1/√(N/10⁴)) and subduct_decay from
+    baseDecay·0.45 (js/elevation.js:330-335 ≙ assemble.py:548-551); here
+    the hop mechanism itself is pinned on a 1-D line mesh."""
+    from planet_heightmap_generation_tpu.ops.banded import (
+        propagate_stress_banded, band_gate, rem_gate_eq)
+
+    band_off, band_mask, _, rem_src, rem_dst, _ = _line_graph()
+    n = 8
+
+    def run(stress0, sf0, r_plate, plate_ocean, decay, sub, passes):
+        rp = jnp.asarray(r_plate, jnp.int32)
+        gate = band_gate(rp, band_off, band_mask)
+        rgate = rem_gate_eq(rp, rem_src, rem_dst)
+        oc = jnp.asarray(plate_ocean)[rp]
+        st, sf = propagate_stress_banded(
+            jnp.asarray(stress0, jnp.float32)[:, None],
+            jnp.asarray(sf0, jnp.float32)[:, None],
+            (gate,), rgate[:, None], oc[:, None],
+            band_off, band_mask, rem_src, rem_dst, decay, sub, passes)
+        return np.asarray(st[:, 0]), np.asarray(sf[:, 0])
+
+    one_plate = np.zeros(n, np.int32)
+
+    # chain decay at the subducting rate: seed sf=0.6>0.5 rides along, so
+    # every hop uses subduct_decay 0.5; 4 passes reach exactly cell 4
+    s0 = np.zeros(n, np.float32); s0[0] = 1.0
+    f0 = np.full(n, 0.2, np.float32); f0[0] = 0.6
+    st, sf = run(s0, f0, one_plate, [False], 0.8, 0.5, 4)
+    np.testing.assert_allclose(
+        st, [1.0, 0.5, 0.25, 0.125, 0.0625, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(sf[:5], [0.6] * 5, atol=1e-6)
+    np.testing.assert_allclose(sf[5:], [0.2] * 3, atol=1e-6)
+
+    # non-subducting seed uses the plain decay
+    f0 = np.full(n, 0.2, np.float32)
+    st, _ = run(s0, f0, one_plate, [False], 0.8, 0.5, 3)
+    np.testing.assert_allclose(
+        st, [1.0, 0.8, 0.64, 0.512, 0, 0, 0, 0], atol=1e-6)
+
+    # the 0.005 cutoff: prop 0.011·0.4 = 0.0044 never sends...
+    s0 = np.zeros(n, np.float32); s0[0] = 0.011
+    st, _ = run(s0, f0, one_plate, [False], 0.4, 0.2, 3)
+    np.testing.assert_allclose(st, s0, atol=1e-7)
+    # ...while 0.011·0.5 = 0.0055 still does
+    st, _ = run(s0, f0, one_plate, [False], 0.5, 0.2, 3)
+    assert abs(st[1] - 0.0055) < 1e-6
+
+    # ocean-plate cells never propagate (js/elevation.js "never starts
+    # from ocean-plate cells")
+    s0 = np.zeros(n, np.float32); s0[0] = 1.0
+    st, _ = run(s0, f0, one_plate, [True], 0.8, 0.5, 4)
+    np.testing.assert_allclose(st, s0, atol=1e-7)
+
+    # propagation is same-plate only: a 4|4 split stops at the boundary
+    rp = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)
+    s0 = np.zeros(n, np.float32); s0[3] = 1.0
+    st, _ = run(s0, f0, rp, [False, False], 0.8, 0.5, 5)
+    np.testing.assert_allclose(
+        st, [0.512, 0.64, 0.8, 1.0, 0, 0, 0, 0], atol=1e-6)
