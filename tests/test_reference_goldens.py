@@ -797,3 +797,38 @@ def test_stress_propagation_goldens():
     st, _ = run(s0, f0, rp, [False, False], 0.8, 0.5, 5)
     np.testing.assert_allclose(
         st, [0.512, 0.64, 0.8, 1.0, 0, 0, 0, 0], atol=1e-6)
+
+
+def test_pressure_to_wind_goldens():
+    """PGF → surface-wind rotation, js/wind.js:343-378: deflection
+    70°·smoothstep(0,sin5°,|sinLat|) minus a fixed 20° friction turn,
+    clockwise in the NH (negative angle), counterclockwise in the SH,
+    speed ×0.6. Expected values hand-evaluated in float64 for a unit
+    eastward PGF (grad_e = −1)."""
+    from planet_heightmap_generation_tpu.climate.wind import (
+        _pressure_to_wind)
+
+    sin5 = math.sin(5 * math.pi / 180)
+    rows = [
+        # (sin_lat, expect_we, expect_wn)
+        # equator: geo 0° − friction 20°, NH sign → rotate +20° CCW
+        (0.0, 0.6 * math.cos(20 * math.pi / 180),
+         0.6 * math.sin(20 * math.pi / 180)),
+        # NH beyond 5°: full 70° − 20° = 50° clockwise
+        (0.5, 0.6 * math.cos(50 * math.pi / 180),
+         -0.6 * math.sin(50 * math.pi / 180)),
+        # SH mirror: 50° counterclockwise
+        (-0.5, 0.6 * math.cos(50 * math.pi / 180),
+         0.6 * math.sin(50 * math.pi / 180)),
+        # halfway up the smoothstep: t=0.5 → 3t²−2t³ = 0.5 → geo 35°
+        (sin5 * 0.5, 0.6 * math.cos(15 * math.pi / 180),
+         -0.6 * math.sin(15 * math.pi / 180)),
+    ]
+    we, wn, speed = _pressure_to_wind(
+        jnp.full(len(rows), -1.0, jnp.float32),
+        jnp.zeros(len(rows), jnp.float32),
+        jnp.asarray([r[0] for r in rows], jnp.float32))
+    np.testing.assert_allclose(we, [r[1] for r in rows], atol=2e-6)
+    np.testing.assert_allclose(wn, [r[2] for r in rows], atol=2e-6)
+    # unit PGF → speed is exactly the 0.6 friction factor everywhere
+    np.testing.assert_allclose(speed, [0.6] * len(rows), atol=2e-6)
