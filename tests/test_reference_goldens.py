@@ -832,3 +832,33 @@ def test_pressure_to_wind_goldens():
     np.testing.assert_allclose(wn, [r[2] for r in rows], atol=2e-6)
     # unit PGF → speed is exactly the 0.6 friction factor everywhere
     np.testing.assert_allclose(speed, [0.6] * len(rows), atol=2e-6)
+
+
+def test_heuristic_wind_belt_goldens():
+    """Idealized wind belts vs ITCZ distance, js/heuristic-precip.js:51-81:
+    ITCZ calm band (equatorward 0.1), trades ramp smoothstep(5,15)·
+    (1−smoothstep(25,32)) at −0.8 E / −0.3 N·hemi, westerlies
+    smoothstep(30,40)·(1−smoothstep(55,65)) at +0.9 E / +0.25 N·hemi,
+    polar easterlies smoothstep(60,70) at −0.4 E / −0.15 N·hemi.
+    Expected values hand-evaluated in float64."""
+    from planet_heightmap_generation_tpu.climate.heuristic_precip import (
+        heuristic_wind)
+
+    rows = [
+        # (dist°, hemi, we, wn)
+        (0.0, 1.0, 0.0, -0.1),               # ITCZ calm, equatorward
+        (3.0, -1.0, 0.0, 0.1),               # SH mirror
+        (10.0, 1.0, -0.4, -0.15),            # trade ramp half strength
+        (18.0, 1.0, -0.8, -0.3),             # trade peak
+        (28.0, 1.0, -0.48513, -0.18192),     # trade fade: 1−ss(25,32,28)
+        (35.0, 1.0, 0.45, 0.125),            # westerly ramp half
+        (47.5, 1.0, 0.9, 0.25),              # westerly peak, poleward N
+        (47.5, -1.0, 0.9, -0.25),            # SH westerly: poleward = south
+        (65.0, 1.0, -0.2, -0.075),           # polar ramp half
+        (75.0, 1.0, -0.4, -0.15),            # polar easterly full
+    ]
+    we, wn = heuristic_wind(
+        jnp.asarray([r[0] for r in rows], jnp.float32),
+        jnp.asarray([r[1] for r in rows], jnp.float32))
+    np.testing.assert_allclose(we, [r[2] for r in rows], atol=2e-5)
+    np.testing.assert_allclose(wn, [r[3] for r in rows], atol=2e-5)
